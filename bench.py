@@ -1,0 +1,80 @@
+"""End-to-end eval throughput benchmark (the BASELINE headline metric).
+
+Measures sustained images/sec for the full detection production pipeline on
+one chip: HISFCOS forward (bf16) + decode + top-k + NMS, all on device at
+512x512 — the TPU counterpart of the reference's eval timing loop
+(test.py:198-223, ~50 FPS at batch 1 on the author's GPU; TPU target
+2,000 img/s/chip).
+
+Timing note: on the axon tunnel `block_until_ready` does not actually wait
+for device completion, so each iteration's completion is forced by fetching
+a scalar checksum; fetches are pipelined one batch behind submission so the
+device queue stays full (sustained-throughput measurement, not latency).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMAGES_PER_SEC = 2000.0  # BASELINE.json target (v5e chip)
+
+
+def main(batch_size: int = 32, iters: int = 20, hw=(512, 512)):
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.ops.postprocess import decode_detections
+    from pytorch_object_detection_tpu.train.trainer import make_eval_forward
+
+    model = HISFCOS(num_classes=20)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, *hw, 3), jnp.float32), False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    strides = [8, 16, 32, 64, 128]
+    fwd = make_eval_forward(model, compute_dtype=jnp.bfloat16)
+
+    @jax.jit
+    def eval_pipeline(params, batch_stats, images):
+        cls_l, cnt_l, reg_l = fwd(params, batch_stats, images)
+        det = decode_detections(
+            cls_l, cnt_l, reg_l, strides,
+            score_threshold=0.05, nms_iou=0.6, max_detections=1000, image_hw=hw,
+        )
+        # scalar checksum forces real device completion when fetched
+        return det, det.scores.sum() + det.valid.sum()
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch_size, *hw, 3), jnp.float32)
+
+    # warmup / compile
+    _, chk = eval_pipeline(params, batch_stats, images)
+    float(chk)
+
+    t0 = time.perf_counter()
+    prev_chk = None
+    for _ in range(iters):
+        _, chk = eval_pipeline(params, batch_stats, images)
+        if prev_chk is not None:
+            float(prev_chk)  # overlap: wait for batch i-1 while i runs
+        prev_chk = chk
+    float(prev_chk)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hisfcos_e2e_eval_images_per_sec_512px",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

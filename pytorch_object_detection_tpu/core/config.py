@@ -1,0 +1,89 @@
+"""YAML config loading — same public surface as the reference.
+
+The two-level scheme (`config/main.yaml` selects dataset/model/runtime flags
+and points at `config/{voc,coco}.yaml` with dataset paths + per-model
+hyperparameter blocks) matches `load_config`
+(`/root/reference/utill/utills.py:258-272`), including the injected
+``config['model']`` keys, so reference configs run unchanged.  Key names
+(``CannelofBackbone``, ``channel``, ``stride``, ``range``, ``criterion``,
+``optimizer.*``, ``dataset_setting.*``) are public API.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Tuple
+
+import yaml
+
+
+def load_config(cfg_path: str = "config/main.yaml") -> Dict[str, Any]:
+    with open(cfg_path) as f:
+        main = yaml.safe_load(f)
+    dataset = main["dataset"]
+    dataset_cfg_path = main[dataset]
+    if not os.path.exists(dataset_cfg_path):
+        # reference paths are repo-root-relative; also try next to main.yaml
+        alt = os.path.join(os.path.dirname(os.path.abspath(cfg_path)), os.path.basename(dataset_cfg_path))
+        if os.path.exists(alt):
+            dataset_cfg_path = alt
+    with open(dataset_cfg_path) as f:
+        config = yaml.safe_load(f)
+    config["model"] = {
+        "dataset": dataset,
+        "name": main["model"],
+        "amp": main.get("amp", True),
+        "ddp": main.get("ddp_enabled", True),
+        "persistent": main.get("persistent_workers", False),
+        "prefetch": main.get("prefetch_factor", 2),
+    }
+    config["savename"] = main.get("savename", "run")
+    return config
+
+
+def model_block(config: Dict[str, Any]) -> Dict[str, Any]:
+    """The per-model hyperparameter block selected by main.yaml."""
+    return config[config["model"]["name"]]
+
+
+def limit_ranges(config: Dict[str, Any]) -> List[Tuple[float, float]]:
+    return [tuple(r) for r in model_block(config)["range"]]
+
+
+def strides(config: Dict[str, Any]) -> List[int]:
+    return list(model_block(config)["stride"])
+
+
+def input_hw(config: Dict[str, Any]) -> Tuple[int, int]:
+    size = config["dataset_setting"]["input"]
+    return int(size[0]), int(size[1])
+
+
+def num_classes(config: Dict[str, Any]) -> int:
+    return int(config["dataset_setting"]["class_num"])
+
+
+def level_shapes(config: Dict[str, Any]) -> List[Tuple[int, int]]:
+    """Static per-level feature shapes for a fixed input canvas.
+
+    TPU-first: the reference pads to per-batch variable /32 multiples
+    (dataset/voc.py:110-139) which would force XLA recompiles; we fix the
+    canvas to the configured input size (carrying a resize `scale` per image
+    like the reference's eval path, Test_coco.py:63).
+    """
+    h, w = input_hw(config)
+    h = _round_up(h, 128)
+    w = _round_up(w, 128)
+    return [( _ceil_div(h, s), _ceil_div(w, s)) for s in strides(config)]
+
+
+def canvas_hw(config: Dict[str, Any]) -> Tuple[int, int]:
+    h, w = input_hw(config)
+    return _round_up(h, 128), _round_up(w, 128)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,226 @@
+"""Functional training core: TrainState + one fused jitted train step.
+
+Replaces the reference's eager loop (`/root/reference/train_new.py:181-245`)
+with a single pure ``train_step(state, batch) -> (state, metrics)`` compiled
+once by XLA:
+
+  * forward + target assignment + loss + backward + SGD update fuse into one
+    TPU program — no per-op dispatch, no host syncs in the hot loop;
+  * mixed precision is a bf16 cast policy at apply time (params master fp32),
+    replacing CUDA AMP + GradScaler (bf16 needs no loss scaling);
+  * BN freezing / backbone stage freezing (reference HISFcos.py:57-68,
+    resnet50.py:55-65) are optimizer masks over param paths, and frozen BN
+    runs off stored `batch_stats`;
+  * data parallelism: run the same step under a Mesh with the batch sharded
+    on the ``data`` axis (parallel/mesh.py) — XLA inserts the grad psum.
+
+Optimizers: SGD/momentum (torch-ordering: wd before momentum), Adam, AdamW,
+RAdam — the set `bulider.py:28-43` exposes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pytorch_object_detection_tpu.ops.losses import fcos_loss, flatten_level_preds
+from pytorch_object_detection_tpu.ops.targets import generate_targets
+from pytorch_object_detection_tpu.train.schedules import warmup_step_decay
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_batch_stats if new_batch_stats is not None else self.batch_stats,
+        )
+
+
+# ---------------------------------------------------------------------------
+# parameter freezing masks
+# ---------------------------------------------------------------------------
+def param_labels(params, freeze_bn: bool = True, frozen_stages: int = 0) -> Any:
+    """Label each param 'train' or 'freeze'.
+
+    freeze_bn: all BatchNorm scale/bias (module name 'bn*') — the reference
+    sets requires_grad=False on every BN when bn_freeze (its only config).
+    frozen_stages=k: backbone stem + layer1..layerk (reference
+    freeze_stages, resnet50.py:55-65).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def label(path) -> str:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if freeze_bn and any(k == "bn" or k.startswith("bn") for k in keys):
+            return "freeze"
+        if frozen_stages >= 0 and len(keys) >= 2 and keys[0] == "backbone":
+            mod = keys[1]
+            if mod in ("conv1", "bn1"):
+                return "freeze"
+            for s in range(1, frozen_stages + 1):
+                if mod.startswith(f"layer{s}_"):
+                    return "freeze"
+        return "train"
+
+    labels = {tuple(p for p in path): label(path) for path, _ in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [labels[tuple(p for p in path)] for path, _ in flat]
+    )
+
+
+def make_optimizer(
+    name: str = "SGD",
+    lr: float | Callable = 1e-2,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    params=None,
+    freeze_bn: bool = True,
+    frozen_stages: int = 0,
+) -> optax.GradientTransformation:
+    """Build the configured optimizer with freezing masks (bulider.py:28-43)."""
+    name = name.upper()
+    if name == "SGD":
+        # torch SGD ordering: grad += wd*p, then momentum trace, then -lr
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.trace(decay=momentum, nesterov=False),
+            optax.scale_by_learning_rate(lr),
+        )
+    elif name == "ADAM":
+        tx = optax.adam(lr)
+    elif name == "ADAMW":
+        tx = optax.adamw(lr, weight_decay=weight_decay)
+    elif name == "RADAM":
+        tx = optax.radam(lr)
+    else:
+        raise NotImplementedError(f"optimizer {name}")
+    if params is not None and (freeze_bn or frozen_stages > 0):
+        labels = param_labels(params, freeze_bn, frozen_stages)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# train / eval steps
+# ---------------------------------------------------------------------------
+def create_train_state(
+    model,
+    rng,
+    input_shape: Tuple[int, int, int, int],
+    optimizer_cfg: Optional[Dict] = None,
+    freeze_bn: bool = True,
+    frozen_stages: int = 1,
+) -> TrainState:
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    cfg = optimizer_cfg or {}
+    schedule = warmup_step_decay(
+        cfg.get("lr", 1e-2),
+        cfg.get("warmup_steps", 500),
+        cfg.get("warmup_factor", 1.0 / 3.0),
+        cfg.get("milestones", (120000, 160000)),
+        cfg.get("gamma", 0.1),
+    )
+    tx = make_optimizer(
+        cfg.get("name", "SGD"),
+        schedule,
+        cfg.get("momentum", 0.9),
+        cfg.get("weight_decay", 1e-4),
+        params=params,
+        freeze_bn=freeze_bn,
+        frozen_stages=frozen_stages,
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
+def make_train_step(
+    model,
+    level_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    limit_ranges: Sequence[Tuple[float, float]],
+    reg_mode: str = "giou",
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    bn_train: bool = False,
+    donate: bool = True,
+):
+    """Build the fused jitted train step.
+
+    The returned fn is ``(state, images[B,H,W,3], boxes[B,M,4], labels[B,M])
+    -> (state, metrics)`` and works unchanged on one chip or under a Mesh
+    with the batch sharded over 'data' (grads come out replicated; XLA
+    inserts the psum).
+    """
+
+    def step_fn(state: TrainState, images, boxes, labels):
+        def loss_fn(params):
+            apply_vars = {"params": _cast_tree(params, compute_dtype)}
+            if state.batch_stats:
+                apply_vars["batch_stats"] = _cast_tree(state.batch_stats, compute_dtype)
+            mutable = ["batch_stats"] if bn_train else False
+            out = model.apply(
+                apply_vars, images.astype(compute_dtype), True, mutable=mutable
+            )
+            if bn_train:
+                (cls_l, cnt_l, reg_l), updates = out
+                new_stats = _cast_tree(updates["batch_stats"], jnp.float32)
+            else:
+                cls_l, cnt_l, reg_l = out
+                new_stats = None
+            cls_p = flatten_level_preds([c.astype(jnp.float32) for c in cls_l])
+            cnt_p = flatten_level_preds([c.astype(jnp.float32) for c in cnt_l])
+            reg_p = flatten_level_preds([r.astype(jnp.float32) for r in reg_l])
+            tgt = generate_targets(level_shapes, strides, limit_ranges, boxes, labels)
+            losses = fcos_loss(cls_p, cnt_p, reg_p, tgt.cls, tgt.cnt, tgt.reg, reg_mode)
+            return losses["total"], (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = _cast_tree(grads, jnp.float32)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        metrics = {k: v for k, v in losses.items()}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_forward(model, compute_dtype: jnp.dtype = jnp.bfloat16):
+    """Jitted inference forward returning per-level fp32 outputs."""
+
+    def fwd(params, batch_stats, images):
+        apply_vars = {"params": _cast_tree(params, compute_dtype)}
+        if batch_stats:
+            apply_vars["batch_stats"] = _cast_tree(batch_stats, compute_dtype)
+        cls_l, cnt_l, reg_l = model.apply(apply_vars, images.astype(compute_dtype), False)
+        f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
+        return f32(cls_l), f32(cnt_l), f32(reg_l)
+
+    return jax.jit(fwd)

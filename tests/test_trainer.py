@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_object_detection_tpu.data.synthetic import synthetic_batch
+from pytorch_object_detection_tpu.models.fcos import HISFCOS
+from pytorch_object_detection_tpu.parallel.mesh import batch_sharding, create_mesh, replicate_state, shard_batch
+from pytorch_object_detection_tpu.train.schedules import poly_lr, warmup_step_decay
+from pytorch_object_detection_tpu.train.trainer import (
+    create_train_state,
+    make_train_step,
+    param_labels,
+)
+
+HW = (128, 128)
+STRIDES = [8, 16, 32, 64, 128]
+SHAPES = [(HW[0] // s, HW[1] // s) for s in STRIDES]
+RANGES = [(-1, 32), (32, 96), (96, 192), (192, 384), (384, 9999999)]
+
+
+def _small_state(rng=0):
+    model = HISFCOS(num_classes=5, features=64)
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(rng),
+        (1, *HW, 3),
+        {"lr": 1e-2, "warmup_steps": 10},
+        freeze_bn=True,
+        frozen_stages=1,
+    )
+    return model, state
+
+
+def test_schedule_warmup_and_decay():
+    s = warmup_step_decay(0.01, 500, 1 / 3, [120000, 160000], 0.1)
+    np.testing.assert_allclose(float(s(0)), 0.01 / 3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(250)), 0.01 * (1 / 3 + 0.5 * 2 / 3), rtol=1e-5)
+    np.testing.assert_allclose(float(s(1000)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(s(130000)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(s(170000)), 0.0001, rtol=1e-6)
+
+
+def test_poly_lr():
+    s = poly_lr(0.01, 100, power=1.0)
+    np.testing.assert_allclose(float(s(50)), 0.005, rtol=1e-6)
+    np.testing.assert_allclose(float(s(1000)), 1e-6, rtol=1e-6)
+
+
+def test_param_labels_freeze_bn_and_stage1():
+    model, state = _small_state()
+    labels = param_labels(state.params, freeze_bn=True, frozen_stages=1)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    as_str = {"/".join(p.key for p in path): v for path, v in flat}
+    # all BN frozen
+    assert all(v == "freeze" for k, v in as_str.items() if "/bn/" in k or k.endswith("/bn"))
+    # stem + layer1 frozen, layer2+ trainable convs
+    assert as_str["backbone/conv1/conv/kernel"] == "freeze"
+    assert as_str["backbone/layer1_0/conv1/conv/kernel"] == "freeze"
+    assert as_str["backbone/layer2_0/conv1/conv/kernel"] == "train"
+    # head trains
+    assert as_str["head/cls_pred/conv/kernel"] == "train"
+
+
+def test_train_step_loss_decreases_and_frozen_params_stay():
+    model, state = _small_state()
+    step = make_train_step(model, SHAPES, STRIDES, RANGES, "giou", compute_dtype=jnp.float32)
+    imgs, boxes, labels = synthetic_batch(jax.random.PRNGKey(1), 2, HW, 5, max_boxes=8)
+
+    frozen_before = np.asarray(state.params["backbone"]["conv1"]["conv"]["kernel"])
+    bn_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["backbone"]["bn1"])[0]
+    )
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, imgs, boxes, labels)
+        losses.append(float(metrics["total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    # frozen params unchanged after 5 steps
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["conv1"]["conv"]["kernel"]), frozen_before
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params["backbone"]["bn1"])[0]), bn_before
+    )
+    assert int(state.step) == 5
+
+
+def test_train_step_data_parallel_mesh():
+    """Full DP train step over the simulated 8-device mesh."""
+    model, state = _small_state()
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    step = make_train_step(model, SHAPES, STRIDES, RANGES, "giou", compute_dtype=jnp.float32, donate=False)
+    imgs, boxes, labels = synthetic_batch(jax.random.PRNGKey(2), 8, HW, 5, max_boxes=8)
+
+    with mesh:
+        state_r = replicate_state(mesh, state)
+        batch = shard_batch(mesh, (imgs, boxes, labels))
+        new_state, metrics = step(state_r, *batch)
+    assert np.isfinite(float(metrics["total"]))
+    # gradient must be identical to single-device run on the same global batch
+    new_state_1, metrics_1 = make_train_step(
+        model, SHAPES, STRIDES, RANGES, "giou", compute_dtype=jnp.float32, donate=False
+    )(state, imgs, boxes, labels)
+    np.testing.assert_allclose(float(metrics["total"]), float(metrics_1["total"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(new_state.params["head"])[0]
+    b = jax.tree_util.tree_leaves(new_state_1.params["head"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
