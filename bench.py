@@ -24,14 +24,18 @@ import jax.numpy as jnp
 BASELINE_IMAGES_PER_SEC = 2000.0  # BASELINE.json target (v5e chip)
 
 
-def main(batch_size: int = 32, iters: int = 20, hw=(512, 512)):
+def main(batch_size: int = 64, iters: int = 20, hw=(512, 512)):
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
     from pytorch_object_detection_tpu.ops.postprocess import decode_detections
     from pytorch_object_detection_tpu.train.trainer import make_eval_forward
 
     model = HISFCOS(num_classes=20)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, *hw, 3), jnp.float32), False)
+    # jit the init: un-jitted linen init dispatches op-by-op through the
+    # axon tunnel (minutes); jitted it is one program.
+    variables = jax.jit(lambda r, x: model.init(r, x, False))(
+        rng, jnp.zeros((1, *hw, 3), jnp.float32)
+    )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
     strides = [8, 16, 32, 64, 128]

@@ -83,7 +83,5 @@ def decode_detections(
 
     valid = top_scores >= score_threshold
 
-    keep = jax.vmap(batched_class_nms, in_axes=(0, 0, 0, 0, None))(
-        top_boxes, top_scores, top_classes, valid, nms_iou
-    )
+    keep = batched_class_nms(top_boxes, top_scores, top_classes, valid, nms_iou)
     return Detections(top_scores, top_classes, top_boxes, keep)
