@@ -1,0 +1,232 @@
+"""Batched input pipeline: threaded host loader + fused device preprocessing.
+
+Replaces the reference's torch DataLoader + collate_fn + in-collate
+normalization (`/root/reference/dataset/voc.py:141-173`,
+`train_new.py:93-132`) with:
+
+  * a thread-pool prefetching loader producing statically-shaped uint8
+    batches (small H2D transfers — normalization happens on device);
+  * per-process index sharding via `jax.process_index()` (the TPU-native
+    DistributedSampler);
+  * one jitted device program fusing uint8->float, random horizontal flip
+    (images AND boxes, content-width aware), color jitter (brightness/
+    contrast/saturation/hue, p=0.3, strength 0.1 — reference
+    data/augment.py:13-24) and ImageNet normalization — keyed by explicit
+    PRNG (fixes the reference's broken per-worker seeding,
+    train.py:85 `worker_init_fn=np.random.seed(0)`).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# device-side fused preprocessing
+# ---------------------------------------------------------------------------
+def _rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-8), 0.0)
+    rc = (maxc - r) / jnp.maximum(delta, 1e-8)
+    gc = (maxc - g) / jnp.maximum(delta, 1e-8)
+    bc = (maxc - b) / jnp.maximum(delta, 1e-8)
+    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(rng, images, prob=0.3, strength=0.1):
+    """Batched brightness/contrast/saturation/hue jitter (torchvision
+    semantics, fixed b→c→s→h order; the reference shuffles the order)."""
+    b, h, w, _ = images.shape
+    keys = jax.random.split(rng, 5)
+    apply = jax.random.uniform(keys[0], (b, 1, 1, 1)) < prob
+
+    def factor(key):
+        return jax.random.uniform(key, (b, 1, 1, 1), minval=1.0 - strength, maxval=1.0 + strength)
+
+    out = images * factor(keys[1])  # brightness
+    gray = jnp.mean(out, axis=-1, keepdims=True)
+    out = (out - gray.mean(axis=(1, 2), keepdims=True)) * factor(keys[2]) + gray.mean(
+        axis=(1, 2), keepdims=True
+    )  # contrast
+    out = (out - gray) * factor(keys[3]) + gray  # saturation
+    hue_shift = jax.random.uniform(keys[4], (b, 1, 1), minval=-strength, maxval=strength)
+    hsv = _rgb_to_hsv(jnp.clip(out, 0.0, 1.0))
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + hue_shift) % 1.0)
+    out = _hsv_to_rgb(hsv)
+    return jnp.where(apply, jnp.clip(out, 0.0, 1.0), images)
+
+
+def hflip(rng, images, boxes, content_w, prob=0.5):
+    """Random horizontal flip about each image's content width.
+
+    Content sits at the canvas's left edge (data/voc.py resize), so flipping
+    about ``content_w`` keeps it left-aligned and the padding untouched
+    (reference flips pre-resize, dataset/voc.py:12-20 — same geometry).
+    """
+    b, _, w, _ = images.shape
+    flip = jax.random.uniform(rng, (b,)) < prob
+    cols = jnp.arange(w)[None, :]  # [1, W]
+    nw = content_w[:, None]  # [B, 1]
+    src = jnp.where(cols < nw, nw - 1 - cols, cols)  # mirror inside content
+    src = jnp.where(flip[:, None], src, cols)  # [B, W]
+    flipped = jnp.take_along_axis(images, src[:, None, :, None], axis=2)
+
+    valid = boxes[..., 0] > -0.5
+    nw_b = content_w[:, None].astype(boxes.dtype)
+    x1 = nw_b - 1.0 - boxes[..., 2]
+    x2 = nw_b - 1.0 - boxes[..., 0]
+    fb = jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+    new_boxes = jnp.where((flip[:, None] & valid)[..., None], fb, boxes)
+    return flipped, new_boxes
+
+
+def make_device_preprocess(
+    train: bool,
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+    flip_prob: float = 0.5,
+    jitter_prob: float = 0.3,
+):
+    """One jitted program: uint8 -> float -> (flip+jitter) -> normalize."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def fn(rng, images_u8, boxes, content_w):
+        x = images_u8.astype(jnp.float32) / 255.0
+        if train:
+            k1, k2 = jax.random.split(rng)
+            x, boxes = hflip(k1, x, boxes, content_w, flip_prob)
+            x = color_jitter(k2, x, jitter_prob)
+        x = (x - mean) / std
+        return x, boxes
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# host-side loader
+# ---------------------------------------------------------------------------
+class DetectionLoader:
+    """Thread-pool prefetching loader over a map-style dataset.
+
+    Yields statically-shaped numpy batches:
+      images uint8 [B,H,W,3], boxes f32 [B,M,4] (-1 padded),
+      labels i32 [B,M] (-1 padded), scales f32 [B], content_w i32 [B].
+    The index list is sharded across JAX processes (multi-host DP) and the
+    per-epoch shuffle is seeded (deterministic, unlike the reference's
+    unseeded workers).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        max_boxes: int = 64,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        # shard across processes (TPU-native DistributedSampler)
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            per = n // pc
+            idx = idx[pi * per : (pi + 1) * per]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_from_samples(self, samples) -> Tuple[np.ndarray, ...]:
+        b = len(samples)
+        h, w = samples[0].image.shape[:2]
+        images = np.zeros((b, h, w, 3), np.uint8)
+        boxes = np.full((b, self.max_boxes, 4), -1.0, np.float32)
+        labels = np.full((b, self.max_boxes), -1, np.int32)
+        scales = np.zeros((b,), np.float32)
+        content_w = np.zeros((b,), np.int32)
+        for i, s in enumerate(samples):
+            images[i] = s.image
+            n = min(len(s.boxes), self.max_boxes)
+            if n:
+                boxes[i, :n] = s.boxes[:n]
+                labels[i, :n] = s.labels[:n]
+            scales[i] = s.scale
+            content_w[i] = s.content_hw[1] or w
+        return images, boxes, labels, scales, content_w
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        indices = self._indices()
+        self.epoch += 1
+        n_batches = len(self) if not self.drop_last else len(indices) // self.batch_size
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            stop = threading.Event()
+
+            def producer():
+                for bi in range(n_batches):
+                    if stop.is_set():
+                        return
+                    chunk = indices[bi * self.batch_size : (bi + 1) * self.batch_size]
+                    samples = list(pool.map(lambda i: self.dataset[int(i)], chunk))
+                    out_q.put(self._batch_from_samples(samples))
+                out_q.put(None)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            try:
+                while True:
+                    item = out_q.get()
+                    if item is None:
+                        return
+                    yield item
+            finally:
+                stop.set()

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""COCO val2017 evaluation (replaces the reference's Test_coco.py / code_test.py).
+
+    python scripts/eval_coco.py --config config/main.yaml --checkpoint <dir>
+
+Batched device pipeline; dumps `coco_bbox_results.json` and prints the
+12-number COCO summary (own evaluator; pycocotools used when available).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config/main.yaml")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--results-json", default="coco_bbox_results.json")
+    args = ap.parse_args()
+
+    from pytorch_object_detection_tpu.core import config as C
+    from pytorch_object_detection_tpu.data.coco import COCODataset
+    from pytorch_object_detection_tpu.eval.evaluator import evaluate_coco
+    from pytorch_object_detection_tpu.models.registry import build_model
+    from pytorch_object_detection_tpu.train import checkpoints as ckpt
+    from pytorch_object_detection_tpu.train.trainer import create_train_state
+
+    cfg = C.load_config(args.config)
+    block = C.model_block(cfg)
+    canvas = C.canvas_hw(cfg)
+    model = build_model(cfg["model"]["name"], C.num_classes(cfg), int(block["channel"]))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *canvas, 3))
+    if args.checkpoint:
+        state = ckpt.restore_checkpoint(args.checkpoint, state)
+
+    ds_cfg = cfg["dataset_setting"]
+    dataset = COCODataset(ds_cfg["ValData"], ds_cfg["ValAnnotation"], canvas, filter_empty=False)
+    stats = evaluate_coco(
+        model, state.params, state.batch_stats, dataset,
+        strides=C.strides(cfg), batch_size=args.batch_size, results_json=args.results_json,
+    )
+    # official numbers when pycocotools exists (metric parity)
+    try:
+        from pytorch_object_detection_tpu.eval.coco_map import evaluate_coco_official
+
+        official = evaluate_coco_official(args.results_json, ds_cfg["ValAnnotation"])
+        print("pycocotools:", official)
+    except ImportError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""VOC07-test evaluation (replaces the reference's test.py).
+
+    python scripts/eval_voc.py --config config/main.yaml --checkpoint <dir/path>
+
+Batched on-device decode+NMS (the reference is batch-1 only); prints
+per-class AP@0.5, mAP, and images/sec.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config/main.yaml")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--torch-checkpoint", default="", help=".pth detector checkpoint to convert")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--split", default="test")
+    args = ap.parse_args()
+
+    from pytorch_object_detection_tpu.core import config as C
+    from pytorch_object_detection_tpu.data.voc import VOCDataset
+    from pytorch_object_detection_tpu.eval.evaluator import evaluate_voc
+    from pytorch_object_detection_tpu.models.registry import build_model
+    from pytorch_object_detection_tpu.train import checkpoints as ckpt
+    from pytorch_object_detection_tpu.train.trainer import create_train_state
+
+    cfg = C.load_config(args.config)
+    block = C.model_block(cfg)
+    canvas = C.canvas_hw(cfg)
+    model = build_model(cfg["model"]["name"], C.num_classes(cfg), int(block["channel"]))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *canvas, 3))
+    if args.checkpoint:
+        state = ckpt.restore_checkpoint(args.checkpoint, state)
+
+    ds_root = cfg["dataset_setting"].get("test_07", cfg["dataset_setting"].get("train_07"))
+    dataset = VOCDataset([ds_root], args.split, canvas)
+    evaluate_voc(
+        model, state.params, state.batch_stats, dataset,
+        strides=C.strides(cfg), batch_size=args.batch_size, num_classes=C.num_classes(cfg),
+    )
+
+
+if __name__ == "__main__":
+    main()

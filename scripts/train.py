@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Config-driven trainer (replaces the reference's train.py / train_new.py).
+
+    python scripts/train.py --config config/main.yaml [--steps N] [--synthetic]
+
+One fused jitted train step; data parallel over all visible devices via the
+mesh; TensorBoard metrics on process 0; orbax checkpoints every epoch (full
+state — true resume, which the reference lacks).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_dataset(cfg, train: bool = True):
+    from pytorch_object_detection_tpu.core.config import canvas_hw
+    from pytorch_object_detection_tpu.data.augment import HostAugment
+
+    canvas = canvas_hw(cfg)
+    ds_cfg = cfg["dataset_setting"]
+    augment = HostAugment() if train else None
+    if cfg["model"]["dataset"] == "VOC":
+        from pytorch_object_detection_tpu.data.voc import VOCDataset
+
+        if train:
+            roots = [p for p in (ds_cfg.get("train_07"), ds_cfg.get("train_12")) if p]
+            return VOCDataset(roots, ds_cfg.get("type", "trainval"), canvas, augment=augment)
+        return VOCDataset([ds_cfg.get("test_07", ds_cfg.get("train_07"))], "test", canvas)
+    else:
+        from pytorch_object_detection_tpu.data.coco import COCODataset
+
+        if train:
+            return COCODataset(ds_cfg["TrainData"], ds_cfg["TrainAnnotation"], canvas, augment=augment)
+        return COCODataset(ds_cfg["ValData"], ds_cfg["ValAnnotation"], canvas, filter_empty=False)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="config/main.yaml")
+    ap.add_argument("--steps", type=int, default=0, help="stop after N steps (0 = full epochs)")
+    ap.add_argument("--synthetic", action="store_true", help="train on synthetic data (no dataset needed)")
+    ap.add_argument("--checkpoint-dir", default="./checkpoint")
+    ap.add_argument("--resume", default="", help="checkpoint dir/path to resume from")
+    ap.add_argument("--pretrained-backbone", default="", help="torchvision resnet50 .pth to graft")
+    ap.add_argument("--log-every", type=int, default=20)
+    args = ap.parse_args()
+
+    from pytorch_object_detection_tpu.core import config as C
+    from pytorch_object_detection_tpu.data.pipeline import DetectionLoader, make_device_preprocess
+    from pytorch_object_detection_tpu.models.registry import build_model
+    from pytorch_object_detection_tpu.parallel.mesh import create_mesh, initialize_distributed, replicate_state, shard_batch
+    from pytorch_object_detection_tpu.train import checkpoints as ckpt
+    from pytorch_object_detection_tpu.train.trainer import create_train_state, make_train_step
+    from pytorch_object_detection_tpu.utils.metrics import MetricWriter
+
+    initialize_distributed()
+    cfg = C.load_config(args.config)
+    name = cfg["model"]["name"]
+    block = C.model_block(cfg)
+    canvas = C.canvas_hw(cfg)
+    n_classes = C.num_classes(cfg)
+    strides = C.strides(cfg)
+    ranges = C.limit_ranges(cfg)
+    shapes = C.level_shapes(cfg)
+    batch_size = int(block["batch_size"])
+    compute_dtype = jnp.bfloat16 if cfg["model"].get("amp", True) else jnp.float32
+
+    model = build_model(name, n_classes, int(block["channel"]))
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model,
+        rng,
+        (1, *canvas, 3),
+        {
+            "name": block["optimizer"]["name"],
+            "lr": float(block["optimizer"]["lr"]),
+            "momentum": float(block["optimizer"].get("momentum", 0.9)),
+            "weight_decay": float(block["optimizer"].get("weight_decay", 1e-4)),
+        },
+        freeze_bn=True,
+        frozen_stages=1 if name == "HISFCOS" else 0,
+    )
+    if args.pretrained_backbone:
+        state = ckpt.load_pretrained_backbone(state, args.pretrained_backbone)
+    if args.resume:
+        state = ckpt.restore_checkpoint(args.resume, state)
+
+    train_step = make_train_step(model, shapes, strides, ranges, block.get("criterion", "giou"), compute_dtype)
+    preprocess = make_device_preprocess(train=True)
+    mesh = create_mesh() if cfg["model"].get("ddp", True) and len(jax.devices()) > 1 else None
+    if mesh is not None:
+        state = replicate_state(mesh, state)
+
+    writer = MetricWriter(os.path.join("runs", cfg["savename"])) if jax.process_index() == 0 else None
+
+    if args.synthetic:
+        from pytorch_object_detection_tpu.data.synthetic import synthetic_batch
+
+        def batches():
+            i = 0
+            while True:
+                imgs, boxes, labels = synthetic_batch(
+                    jax.random.PRNGKey(i), batch_size, canvas, n_classes
+                )
+                yield (np.asarray(imgs * 255, np.uint8), np.asarray(boxes), np.asarray(labels),
+                       np.ones(batch_size, np.float32), np.full(batch_size, canvas[1], np.int32))
+                i += 1
+
+        epochs, loader = 1, batches()
+    else:
+        dataset = build_dataset(cfg, train=True)
+        loader = DetectionLoader(
+            dataset, batch_size, max_boxes=int(cfg["dataset_setting"].get("max_boxes", 64)),
+            num_workers=int(cfg["dataset_setting"].get("num_workers", 8)),
+        )
+        epochs = int(block["Epoch"])
+
+    step_count = int(state.step)
+    t0 = time.perf_counter()
+    done = False
+    for epoch in range(epochs):
+        epoch_iter = loader if args.synthetic else iter(loader)
+        for batch in epoch_iter:
+            images_u8, boxes, labels, _scales, content_w = batch
+            rng, k = jax.random.split(rng)
+            imgs, bxs = preprocess(k, jnp.asarray(images_u8), jnp.asarray(boxes), jnp.asarray(content_w))
+            if mesh is not None:
+                imgs, bxs, lbls = shard_batch(mesh, (imgs, bxs, jnp.asarray(labels)))
+            else:
+                lbls = jnp.asarray(labels)
+            state, metrics = train_step(state, imgs, bxs, lbls)
+            step_count += 1
+            if step_count % args.log_every == 0:
+                m = {k2: float(v) for k2, v in metrics.items()}
+                rate = args.log_every * batch_size / (time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                if writer:
+                    writer.write(step_count, {**m, "images_per_sec": rate})
+                print(f"step {step_count} epoch {epoch}: " +
+                      " ".join(f"{k2}={v:.4f}" for k2, v in m.items()) +
+                      f" ({rate:.1f} img/s)", flush=True)
+            if args.steps and step_count >= args.steps:
+                done = True
+                break
+        if jax.process_index() == 0 and not args.synthetic:
+            ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
+        if done:
+            break
+    if jax.process_index() == 0:
+        ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
+        print("training done: step", step_count)
+
+
+if __name__ == "__main__":
+    main()

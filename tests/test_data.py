@@ -1,0 +1,127 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_object_detection_tpu.data.augment import HostAugment, random_crop, rotate_image_and_boxes
+from pytorch_object_detection_tpu.data.pipeline import DetectionLoader, color_jitter, hflip, make_device_preprocess
+from pytorch_object_detection_tpu.data.voc import VOCDataset, parse_voc_xml, resize_to_canvas
+
+
+def _write_voc_fixture(root, n=3):
+    os.makedirs(os.path.join(root, "JPEGImages"))
+    os.makedirs(os.path.join(root, "Annotations"))
+    os.makedirs(os.path.join(root, "ImageSets", "Main"))
+    from PIL import Image
+
+    ids = []
+    for i in range(n):
+        img_id = f"img{i:03d}"
+        ids.append(img_id)
+        w, h = 320 + 20 * i, 240 + 10 * i
+        arr = np.random.default_rng(i).integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, "JPEGImages", f"{img_id}.jpg"))
+        xml = f"""<annotation>
+  <object><name>dog</name><difficult>0</difficult>
+    <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>110</xmax><ymax>120</ymax></bndbox></object>
+  <object><name>cat</name><difficult>1</difficult>
+    <bndbox><xmin>5</xmin><ymin>5</ymin><xmax>50</xmax><ymax>50</ymax></bndbox></object>
+</annotation>"""
+        with open(os.path.join(root, "Annotations", f"{img_id}.xml"), "w") as f:
+            f.write(xml)
+    with open(os.path.join(root, "ImageSets", "Main", "trainval.txt"), "w") as f:
+        f.write("\n".join(ids))
+    return ids
+
+
+def test_voc_parse_and_difficult_filter(tmp_path):
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root)
+    boxes, labels = parse_voc_xml(os.path.join(root, "Annotations", "img000.xml"))
+    assert len(boxes) == 1  # difficult cat filtered
+    np.testing.assert_allclose(boxes[0], [9, 19, 109, 119])  # 0-based shift
+    assert labels[0] == 12  # 'dog' is class 12 (1-based)
+    boxes2, labels2 = parse_voc_xml(
+        os.path.join(root, "Annotations", "img000.xml"), use_difficult=True
+    )
+    assert len(boxes2) == 2
+
+
+def test_resize_to_canvas_geometry():
+    img = np.zeros((200, 400, 3), np.uint8)
+    boxes = np.array([[0.0, 0.0, 400.0, 200.0]], np.float32)
+    canvas, out, scale, (nh, nw) = resize_to_canvas(img, boxes, (512, 512))
+    assert canvas.shape == (512, 512, 3)
+    assert scale == 512 / 400
+    assert (nh, nw) == (256, 512)
+    np.testing.assert_allclose(out[0], [0, 0, 512, 256])
+
+
+def test_loader_static_shapes(tmp_path):
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root)
+    ds = VOCDataset(root, "trainval", canvas_hw=(256, 256))
+    loader = DetectionLoader(ds, batch_size=2, max_boxes=16, num_workers=2, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    images, boxes, labels, scales, content_w = batches[0]
+    assert images.shape == (2, 256, 256, 3) and images.dtype == np.uint8
+    assert boxes.shape == (2, 16, 4)
+    assert labels.shape == (2, 16)
+    assert (labels[labels > 0] == 12).all()
+    assert (boxes[0, 1:] == -1).all()  # one valid box, rest -1
+    assert scales.min() > 0
+    assert 0 < content_w.max() <= 256
+
+
+def test_hflip_flips_pixels_and_boxes():
+    img = jnp.zeros((1, 4, 8, 3)).at[0, :, 1, 0].set(1.0)  # marker at col 1
+    boxes = jnp.array([[[1.0, 0.0, 3.0, 2.0], [-1.0] * 4]])
+    content_w = jnp.array([6])  # content cols 0..5
+    # force flip with prob=1
+    out_img, out_boxes = hflip(jax.random.PRNGKey(0), img, boxes, content_w, prob=1.1)
+    # col 1 -> col 6-1-1 = 4
+    assert float(out_img[0, 0, 4, 0]) == 1.0
+    assert float(out_img[0, 0, 1, 0]) == 0.0
+    np.testing.assert_allclose(np.asarray(out_boxes[0, 0]), [6 - 1 - 3, 0, 6 - 1 - 1, 2])
+    np.testing.assert_allclose(np.asarray(out_boxes[0, 1]), [-1, -1, -1, -1])  # pad untouched
+
+
+def test_color_jitter_bounds_and_prob():
+    img = jnp.full((2, 8, 8, 3), 0.5)
+    out = color_jitter(jax.random.PRNGKey(0), img, prob=1.1, strength=0.1)
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert not np.allclose(np.asarray(out), 0.5)
+    out_never = color_jitter(jax.random.PRNGKey(0), img, prob=0.0)
+    np.testing.assert_allclose(np.asarray(out_never), 0.5)
+
+
+def test_device_preprocess_normalizes():
+    pp = make_device_preprocess(train=False)
+    images = (np.ones((1, 8, 8, 3)) * 127).astype(np.uint8)
+    x, boxes = pp(jax.random.PRNGKey(0), jnp.asarray(images), jnp.full((1, 2, 4), -1.0), jnp.array([8]))
+    expected = (127 / 255 - 0.485) / 0.229
+    np.testing.assert_allclose(float(x[0, 0, 0, 0]), expected, rtol=1e-5)
+
+
+def test_rotation_keeps_box_hull():
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[40.0, 40.0, 60.0, 60.0]], np.float32)
+    out_img, out_boxes = rotate_image_and_boxes(img, boxes, 10.0)
+    assert out_img.shape == img.shape
+    # rotated hull must contain the original center and grow slightly
+    assert out_boxes[0, 0] < 41 and out_boxes[0, 2] > 59
+
+
+def test_random_crop_keeps_boxes(tmp_path):
+    import random
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    boxes = np.array([[10.0, 10.0, 90.0, 90.0]], np.float32)
+    rng = random.Random(0)
+    out_img, out_boxes = random_crop(img, boxes, rng, remain_min=0.7)
+    area = (out_boxes[0, 2] - out_boxes[0, 0]) * (out_boxes[0, 3] - out_boxes[0, 1])
+    assert area >= 0.5 * 80 * 80  # box substantially retained
