@@ -27,11 +27,16 @@ def available_models():
 
 def build_model(name: str, num_classes: int, features: int = 256, **kwargs):
     """Build a detector by config name (reference model switch)."""
+    import dataclasses
+
     _ensure_registered()
     key = name.upper()
     if key not in _REGISTRY:
         raise KeyError(f"unknown model '{name}'; available: {available_models()}")
-    return _REGISTRY[key](num_classes=num_classes, features=features, **kwargs)
+    ctor = _REGISTRY[key]
+    fields = {f.name for f in dataclasses.fields(ctor)}
+    all_kwargs = {"num_classes": num_classes, "features": features, **kwargs}
+    return ctor(**{k: v for k, v in all_kwargs.items() if k in fields})
 
 
 def _ensure_registered():
@@ -39,18 +44,13 @@ def _ensure_registered():
         return
     from pytorch_object_detection_tpu.models import fcos
 
+    from pytorch_object_detection_tpu.models.mcfcos import MC_FCOS
+    from pytorch_object_detection_tpu.models.retinanet import RetinaNet
+    from pytorch_object_detection_tpu.models.ssd import SSD300
+
     _REGISTRY["FCOS"] = fcos.FCOS
     _REGISTRY["HISFCOS"] = fcos.HISFCOS
     _REGISTRY["MNFCOS"] = fcos.MNFCOS
-    try:
-        from pytorch_object_detection_tpu.models.retinanet import RetinaNet
-
-        _REGISTRY["RETINANET"] = RetinaNet
-    except ImportError:
-        pass
-    try:
-        from pytorch_object_detection_tpu.models.ssd import SSD300
-
-        _REGISTRY["SSD300"] = SSD300
-    except ImportError:
-        pass
+    _REGISTRY["MC_FCOS"] = MC_FCOS
+    _REGISTRY["RETINANET"] = RetinaNet
+    _REGISTRY["SSD300"] = SSD300

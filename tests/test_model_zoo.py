@@ -1,0 +1,119 @@
+"""Shape/param smoke tests for the wider model zoo + anchor codec
+(mirrors the reference's per-model __main__ blocks, SURVEY §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_object_detection_tpu.models.mcfcos import MC_FCOS
+from pytorch_object_detection_tpu.models.retinanet import RetinaNet
+from pytorch_object_detection_tpu.models.ssd import SSD300, default_boxes
+from pytorch_object_detection_tpu.nn.efficientnet import EfficientNet
+from pytorch_object_detection_tpu.nn.mobilenet import MobileNetV2
+from pytorch_object_detection_tpu.nn.vgg import VGG16
+from pytorch_object_detection_tpu.ops import anchors as A
+from pytorch_object_detection_tpu.utils.model_info import count_params
+
+
+def _shape_init(model, shape, train=False):
+    return jax.eval_shape(
+        lambda r, x: model.init(r, x, train), jax.random.PRNGKey(0), jnp.zeros(shape)
+    )
+
+
+def _shape_apply(model, variables, shape, train=False):
+    return jax.eval_shape(
+        lambda v, x: model.apply(v, x, train), variables, jnp.zeros(shape)
+    )
+
+
+def test_efficientnet_b0_endpoints():
+    m = EfficientNet.b0()
+    v = _shape_init(m, (1, 512, 512, 3))
+    assert count_params(v["params"]) == 3_595_388
+    outs = _shape_apply(m, v, (1, 512, 512, 3))
+    assert [o.shape[1] for o in outs] == [256, 128, 64, 32, 16]
+    assert outs[-1].shape[-1] == 320
+
+
+def test_mobilenet_v2_taps():
+    m = MobileNetV2()
+    v = _shape_init(m, (1, 256, 256, 3))
+    outs = _shape_apply(m, v, (1, 256, 256, 3))
+    assert [tuple(o.shape[1:]) for o in outs] == [(32, 32, 32), (16, 16, 96), (8, 8, 320)]
+
+
+def test_vgg16_ssd_taps():
+    m = VGG16()
+    v = _shape_init(m, (1, 300, 300, 3))
+    c4, c7 = _shape_apply(m, v, (1, 300, 300, 3))
+    assert tuple(c4.shape[1:]) == (38, 38, 512)  # ceil-mode pool3: 75 -> 38
+    assert tuple(c7.shape[1:]) == (19, 19, 1024)
+
+
+def test_ssd300_output_is_8732_boxes():
+    m = SSD300(num_classes=21)
+    v = _shape_init(m, (1, 300, 300, 3))
+    loc, conf = _shape_apply(m, v, (1, 300, 300, 3))
+    assert loc.shape == (1, 8732, 4)
+    assert conf.shape == (1, 8732, 21)
+    assert default_boxes(300).shape == (8732, 4)
+
+
+def test_retinanet_output_layout():
+    m = RetinaNet(num_classes=20)
+    v = _shape_init(m, (1, 256, 256, 3))
+    loc, cls = _shape_apply(m, v, (1, 256, 256, 3))
+    n = sum((256 // s) ** 2 * 9 for s in (8, 16, 32, 64, 128))
+    assert loc.shape == (1, n, 4)
+    assert cls.shape == (1, n, 20)
+
+
+def test_mcfcos_four_levels():
+    m = MC_FCOS(num_classes=20, features=64)
+    v = _shape_init(m, (1, 128, 128, 3))
+    cls, cnt, reg = _shape_apply(m, v, (1, 128, 128, 3))
+    assert [c.shape[1] for c in cls] == [16, 8, 4, 2]  # strides 8,16,32,64
+    assert cls[0].shape[-1] == 20 and reg[0].shape[-1] == 4
+
+
+def test_anchor_generation_and_codec_roundtrip():
+    shapes = [(8, 8), (4, 4)]
+    anchors = A.generate_anchors(shapes, [8, 16])
+    assert anchors.shape == ((64 + 16) * 9, 4)
+    # encode a GT then decode the matched anchor's offsets -> recovers the GT
+    gt = jnp.array([[[10.0, 10.0, 50.0, 50.0]]])
+    labels = jnp.array([[3]], jnp.int32)
+    loc, cls = A.encode_targets(anchors, gt, labels)
+    assert loc.shape == (1, anchors.shape[0], 4)
+    pos = np.asarray(cls[0]) == 3
+    assert pos.sum() > 0  # some anchor matched at IoU >= 0.5
+    decoded = A.decode_boxes(anchors, loc[0])
+    np.testing.assert_allclose(np.asarray(decoded[pos]), [[10, 10, 50, 50]] * pos.sum(), atol=1e-3)
+    # ignore band exists betwen neg and pos
+    vals = set(np.unique(np.asarray(cls)))
+    assert vals <= {-1, 0, 3}
+
+
+def test_retinanet_loss_decreases_on_positive_fit():
+    shapes = [(8, 8)]
+    anchors = A.generate_anchors(shapes, [8])
+    gt = jnp.array([[[8.0, 8.0, 40.0, 40.0]]])
+    labels = jnp.array([[2]], jnp.int32)
+    loc_t, cls_t = A.encode_targets(anchors, gt, labels)
+    # perfect predictions -> tiny loss; wrong predictions -> bigger
+    perfect_cls = jnp.where(
+        (jnp.arange(1, 6)[None, None, :] == cls_t[..., None]), 9.0, -9.0
+    )
+    good = A.retinanet_loss(perfect_cls, loc_t, cls_t, loc_t, 5)
+    bad = A.retinanet_loss(-perfect_cls, loc_t + 2.0, cls_t, loc_t, 5)
+    assert float(good["total"]) < float(bad["total"])
+    np.testing.assert_allclose(float(good["reg"]), 0.0, atol=1e-7)
+
+
+def test_registry_includes_zoo():
+    from pytorch_object_detection_tpu.models.registry import available_models, build_model
+
+    assert {"FCOS", "HISFCOS", "MNFCOS", "MC_FCOS", "RETINANET", "SSD300"} <= set(available_models())
+    m = build_model("SSD300", num_classes=21)
+    assert m.num_classes == 21
