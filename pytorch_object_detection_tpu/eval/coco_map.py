@@ -111,6 +111,17 @@ class COCOEvaluator:
         det_area = np.prod(np.clip(det[:, 2:] - det[:, :2], 0, None), axis=-1)
         det_out = (det_area < lo) | (det_area > hi)
 
+        try:
+            from pytorch_object_detection_tpu.native.lib import coco_match_native, native_available
+
+            if native_available():
+                m, ig = coco_match_native(
+                    gt[gt_order], gt_ignore_sorted, det, det_out, IOU_THRS.astype(np.float32)
+                )
+                return scores, m, ig, n_gt
+        except Exception:
+            pass
+
         for ti, thr in enumerate(IOU_THRS):
             taken = np.zeros(len(gt), bool)
             for di in range(d):

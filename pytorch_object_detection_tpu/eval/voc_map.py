@@ -36,6 +36,30 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+def _greedy_match(gt: np.ndarray, preds: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """TP flags for score-sorted predictions; native C++ when built."""
+    if len(preds) == 0:
+        return np.zeros((0,), bool)
+    if len(gt) == 0:
+        return np.zeros(len(preds), bool)
+    try:
+        from pytorch_object_detection_tpu.native.lib import native_available, voc_match_native
+
+        if native_available():
+            return voc_match_native(gt, preds, iou_threshold)
+    except Exception:
+        pass
+    assigned = np.zeros(len(gt), bool)
+    iou = _iou_matrix(gt, preds)
+    tp = np.zeros(len(preds), bool)
+    for j in range(len(preds)):
+        best = int(np.argmax(iou[:, j]))
+        if iou[best, j] >= iou_threshold and not assigned[best]:
+            assigned[best] = True
+            tp[j] = True
+    return tp
+
+
 def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
     """PR-envelope AP (py-faster-rcnn style, reference test.py:56-82)."""
     mrec = np.concatenate([[0.0], recall, [1.0]])
@@ -76,19 +100,8 @@ def eval_voc_ap(
                 continue
             order = np.argsort(-s)
             p, s = p[order], s[order]
-            assigned = np.zeros(len(g), bool)
-            iou = _iou_matrix(g, p) if len(g) else None
-            for j in range(len(p)):
-                scores_all.append(float(s[j]))
-                if len(g) == 0:
-                    tp_all.append(0)
-                    continue
-                best = int(np.argmax(iou[:, j]))
-                if iou[best, j] >= iou_threshold and not assigned[best]:
-                    assigned[best] = True
-                    tp_all.append(1)
-                else:
-                    tp_all.append(0)
+            scores_all.extend(float(v) for v in s)
+            tp_all.extend(int(v) for v in _greedy_match(g, p, iou_threshold))
         if total_gts == 0:
             aps[cls] = 0.0
             continue

@@ -1,0 +1,108 @@
+"""ctypes bindings for the native detection runtime (libdetops.so).
+
+Auto-builds on first use when g++ is available; callers must treat
+``get_lib() is None`` as "use the numpy fallback".
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libdetops.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            from pytorch_object_detection_tpu.native.build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.voc_match.argtypes = [_f32p, ctypes.c_int, _f32p, ctypes.c_int, ctypes.c_float, _u8p]
+    lib.coco_match.argtypes = [
+        _f32p, _u8p, ctypes.c_int,
+        _f32p, _u8p, ctypes.c_int,
+        _f32p, ctypes.c_int,
+        _u8p, _u8p,
+    ]
+    lib.nms_cpu.argtypes = [_f32p, _u8p, ctypes.c_int, ctypes.c_float, _u8p]
+    lib.native_abi_version.restype = ctypes.c_int
+    assert lib.native_abi_version() == 1
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    return _load()
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(_f32p)
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(_u8p)
+
+
+def voc_match_native(gt_boxes: np.ndarray, pred_boxes: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """tp flags for score-sorted predictions of one (image, class)."""
+    lib = _load()
+    gt = np.ascontiguousarray(gt_boxes, np.float32)
+    pred = np.ascontiguousarray(pred_boxes, np.float32)
+    tp = np.zeros(len(pred), np.uint8)
+    lib.voc_match(_fptr(gt), len(gt), _fptr(pred), len(pred), ctypes.c_float(iou_threshold), _u8ptr(tp))
+    return tp.astype(bool)
+
+
+def coco_match_native(
+    gt_boxes: np.ndarray,
+    gt_ignore: np.ndarray,
+    det_boxes: np.ndarray,
+    det_out: np.ndarray,
+    thresholds: np.ndarray,
+):
+    lib = _load()
+    gt = np.ascontiguousarray(gt_boxes, np.float32)
+    gi = np.ascontiguousarray(gt_ignore, np.uint8)
+    det = np.ascontiguousarray(det_boxes, np.float32)
+    do = np.ascontiguousarray(det_out, np.uint8)
+    thr = np.ascontiguousarray(thresholds, np.float32)
+    t, d = len(thr), len(det)
+    matched = np.zeros((t, d), np.uint8)
+    ignored = np.zeros((t, d), np.uint8)
+    lib.coco_match(
+        _fptr(gt), _u8ptr(gi), len(gt), _fptr(det), _u8ptr(do), d,
+        _fptr(thr), t, _u8ptr(matched), _u8ptr(ignored),
+    )
+    return matched.astype(bool), ignored.astype(bool)
+
+
+def nms_cpu_native(boxes: np.ndarray, valid: np.ndarray, iou_threshold: float) -> np.ndarray:
+    lib = _load()
+    b = np.ascontiguousarray(boxes, np.float32)
+    v = np.ascontiguousarray(valid, np.uint8)
+    keep = np.zeros(len(b), np.uint8)
+    lib.nms_cpu(_fptr(b), _u8ptr(v), len(b), ctypes.c_float(iou_threshold), _u8ptr(keep))
+    return keep.astype(bool)
