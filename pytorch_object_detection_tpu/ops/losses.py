@@ -51,6 +51,33 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def distance_centerness_loss(
+    cnt_logits: jnp.ndarray,
+    cnt_target: jnp.ndarray,
+    reg_preds: jnp.ndarray,
+    reg_target: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_pos: jnp.ndarray,
+    distance_weight: float = 0.5,
+) -> jnp.ndarray:
+    """Experimental distance-aware centerness (reference compute_dcnt_loss,
+    loss.py:60-113, commented out of FCOSLoss): BCE on centerness plus an L1
+    on the sigmoid of the predicted box diagonal length vs the target's.
+    Vectorized; per-sample sum / num_pos.
+    """
+    bce = jnp.where(mask, bce_with_logits(cnt_logits[..., 0], jnp.where(mask, cnt_target[..., 0], 0.0)), 0.0)
+
+    def diag(reg):
+        w = reg[..., 0] + reg[..., 2]
+        h = reg[..., 1] + reg[..., 3]
+        return jax_sigmoid(jnp.sqrt(jnp.maximum(w * w + h * h, 0.0)))
+
+    safe_t = jnp.where(mask[..., None], reg_target, 1.0)
+    l1 = jnp.where(mask, jnp.abs(diag(reg_preds) - diag(safe_t)), 0.0)
+    per_sample = jnp.sum(bce + distance_weight * l1, axis=1)
+    return jnp.mean(per_sample / num_pos)
+
+
 def fcos_loss(
     cls_logits: jnp.ndarray,
     cnt_logits: jnp.ndarray,
@@ -59,6 +86,7 @@ def fcos_loss(
     cnt_target: jnp.ndarray,
     reg_target: jnp.ndarray,
     mode: str = "giou",
+    cnt_mode: str = "bce",
 ) -> Dict[str, jnp.ndarray]:
     """Total FCOS loss (reference loss.py:196-215).
 
@@ -81,11 +109,16 @@ def fcos_loss(
     cls_per_sample = jnp.sum(sigmoid_focal_loss(cls_logits, onehot), axis=(1, 2))
     cls_loss = jnp.mean(cls_per_sample / num_pos)
 
-    # --- centerness: BCE on positives only ---
-    cnt_t = jnp.where(mask, cnt_target[..., 0], 0.0)
-    cnt_elem = bce_with_logits(cnt_logits[..., 0], cnt_t)
-    cnt_per_sample = jnp.sum(jnp.where(mask, cnt_elem, 0.0), axis=1)
-    cnt_loss = jnp.mean(cnt_per_sample / num_pos)
+    # --- centerness: BCE on positives only (or distance-aware variant) ---
+    if cnt_mode == "dcnt":
+        cnt_loss = distance_centerness_loss(
+            cnt_logits, cnt_target, reg_preds, reg_target, mask, num_pos
+        )
+    else:
+        cnt_t = jnp.where(mask, cnt_target[..., 0], 0.0)
+        cnt_elem = bce_with_logits(cnt_logits[..., 0], cnt_t)
+        cnt_per_sample = jnp.sum(jnp.where(mask, cnt_elem, 0.0), axis=1)
+        cnt_loss = jnp.mean(cnt_per_sample / num_pos)
 
     # --- regression: IoU/GIoU in ltrb space on positives only ---
     # sanitize masked-out rows so the IoU math stays well-conditioned

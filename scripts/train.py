@@ -103,17 +103,22 @@ def main():
     writer = MetricWriter(os.path.join("runs", cfg["savename"])) if jax.process_index() == 0 else None
 
     if args.synthetic:
-        from pytorch_object_detection_tpu.data.synthetic import synthetic_batch
-
         def batches():
-            i = 0
+            # host-side numpy generation: keeps the device queue full (a
+            # jax-generated batch would cost a tunnel fetch per step)
+            rng_np = np.random.default_rng(0)
+            imgs = rng_np.integers(0, 255, (batch_size, *canvas, 3), np.uint8)
             while True:
-                imgs, boxes, labels = synthetic_batch(
-                    jax.random.PRNGKey(i), batch_size, canvas, n_classes
-                )
-                yield (np.asarray(imgs * 255, np.uint8), np.asarray(boxes), np.asarray(labels),
+                n = rng_np.integers(1, 8)
+                boxes = np.full((batch_size, 32, 4), -1.0, np.float32)
+                labels = np.full((batch_size, 32), -1, np.int32)
+                cxy = rng_np.uniform(0.1, 0.9, (batch_size, n, 2)) * np.array(canvas[::-1])
+                wh = rng_np.uniform(0.05, 0.4, (batch_size, n, 2)) * np.array(canvas[::-1])
+                boxes[:, :n, :2] = np.maximum(cxy - wh / 2, 0)
+                boxes[:, :n, 2:] = np.minimum(cxy + wh / 2, np.array(canvas[::-1]) - 1)
+                labels[:, :n] = rng_np.integers(1, n_classes + 1, (batch_size, n))
+                yield (imgs, boxes, labels,
                        np.ones(batch_size, np.float32), np.full(batch_size, canvas[1], np.int32))
-                i += 1
 
         epochs, loader = 1, batches()
     else:
