@@ -48,16 +48,21 @@ class FCOS(nn.Module):
 
 
 class HISFCOS(nn.Module):
-    """Half-Inverted-Stage FCOS — the flagship model."""
+    """Half-Inverted-Stage FCOS — the flagship model.
+
+    ``stem_mode='s2d'`` selects the TPU space-to-depth ResNet stem (exact
+    rewrite; pretrained conv7 weights convert via nn/resnet.s2d_stem_kernel).
+    """
 
     num_classes: int = 20
     features: int = 256
     freeze_bn: bool = True
+    stem_mode: str = "conv7"
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         bn_train = train and not self.freeze_bn
-        feats = ResNet50(name="backbone")(images, bn_train)
+        feats = ResNet50(stem_mode=self.stem_mode, name="backbone")(images, bn_train)
         levels = HisFPN(self.features, name="fpn")(feats, bn_train)
         return HISHead(self.num_classes, self.features, name="head")(levels)
 

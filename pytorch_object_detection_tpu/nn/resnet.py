@@ -46,17 +46,53 @@ class Bottleneck(nn.Module):
         return relu(x + y)
 
 
+def space_to_depth(x, block: int = 2):
+    """[B, H, W, C] -> [B, H/b, W/b, b*b*C] (dy, dx, c channel order)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, block * block * c)
+
+
+def s2d_stem_kernel(conv7: "jnp.ndarray"):
+    """Rewrite a [7,7,3,64] stride-2 stem kernel into the space-to-depth
+    [4,4,12,64] stride-1 form (exact math; see ResNet50.stem_mode)."""
+    import jax.numpy as jnp
+
+    k = jnp.pad(conv7, ((1, 0), (1, 0), (0, 0), (0, 0)))  # leading zero row/col
+    kh, kw, cin, cout = k.shape  # 8, 8, 3, 64
+    k = k.reshape(kh // 2, 2, kw // 2, 2, cin, cout)
+    k = k.transpose(0, 2, 1, 3, 4, 5)  # [4, 4, dy, dx, c, out]
+    return k.reshape(kh // 2, kw // 2, 4 * cin, cout)
+
+
 class ResNet50(nn.Module):
     """Returns (C3, C4, C5); set ``num_outputs`` for other taps
-    (reference re_layer, resnet50.py:33-40)."""
+    (reference re_layer, resnet50.py:33-40).
+
+    ``stem_mode='s2d'`` replaces the 7x7/2 stem conv with the mathematically
+    identical space-to-depth form (block-2 s2d then a 4x4/1 conv on 12
+    channels, asymmetric (2,1) padding) — the canonical TPU ResNet stem: the
+    MXU sees 12 input channels instead of 3 and a quarter of the positions.
+    Pretrained 7x7 weights convert exactly via :func:`s2d_stem_kernel`.
+    """
 
     num_outputs: int = 3
     stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
     stage_widths: Tuple[int, ...] = (64, 128, 256, 512)
+    stem_mode: str = "conv7"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv(64, kernel=7, stride=2, use_bias=False, init="resnet", name="conv1")(x)
+        if self.stem_mode == "s2d":
+            x = space_to_depth(x, 2)
+            x = nn.Conv(
+                64, (4, 4), (1, 1), padding=[(2, 1), (2, 1)], use_bias=False,
+                kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+                name="conv1_s2d",
+            )(x)
+        else:
+            x = Conv(64, kernel=7, stride=2, use_bias=False, init="resnet", name="conv1")(x)
         x = relu(BatchNorm(name="bn1")(x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

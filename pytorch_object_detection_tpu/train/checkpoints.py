@@ -105,7 +105,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def torchvision_resnet50_to_pytree(
-    sd: Dict[str, np.ndarray], prefix: str = ""
+    sd: Dict[str, np.ndarray], prefix: str = "", stem_mode: str = "conv7"
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Map a torchvision resnet50 state_dict onto nn/resnet.py's pytree.
 
@@ -133,7 +133,13 @@ def torchvision_resnet50_to_pytree(
     def conv(src: str, dst_scope: str):
         put(params, [dst_scope, "conv", "kernel"], convert_conv(sd[prefix + src + ".weight"]))
 
-    conv("conv1", "conv1")
+    if stem_mode == "s2d":
+        from pytorch_object_detection_tpu.nn.resnet import s2d_stem_kernel
+
+        k7 = convert_conv(sd[prefix + "conv1.weight"])
+        put(params, ["conv1_s2d", "kernel"], np.asarray(s2d_stem_kernel(k7)))
+    else:
+        conv("conv1", "conv1")
     bn("bn1", "bn1")
     stage_sizes = (3, 4, 6, 3)
     for stage, blocks in enumerate(stage_sizes, start=1):

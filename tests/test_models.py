@@ -69,3 +69,25 @@ def test_batch_stats_collection_exists():
     )
     assert "batch_stats" in variables
     assert count_params(variables["batch_stats"]) > 0
+
+
+def test_s2d_stem_matches_conv7():
+    """space-to-depth stem is an exact rewrite of the 7x7/2 stem."""
+    from pytorch_object_detection_tpu.nn.resnet import ResNet50, s2d_stem_kernel
+
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    m7 = ResNet50(stem_mode="conv7")
+    v7 = m7.init(jax.random.PRNGKey(1), img, False)
+    ms = ResNet50(stem_mode="s2d")
+    vs = ms.init(jax.random.PRNGKey(1), img, False)
+    # graft the conv7 weights (transformed) into the s2d model
+    params = jax.tree_util.tree_map(lambda x: x, vs["params"])
+    params["conv1_s2d"] = {"kernel": s2d_stem_kernel(v7["params"]["conv1"]["conv"]["kernel"])}
+    for key in v7["params"]:
+        if key not in ("conv1",):
+            params[key] = v7["params"][key]
+    out7 = m7.apply(v7, img, False)
+    outs = ms.apply({"params": params, "batch_stats": v7["batch_stats"]}, img, False)
+    for a, b in zip(out7, outs):
+        # tiny fp32 rounding differences accumulate through 50 layers
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3)
