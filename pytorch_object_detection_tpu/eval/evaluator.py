@@ -57,6 +57,23 @@ def make_eval_pipeline(
     return pipeline
 
 
+def _run_pipeline(pipeline, params, batch_stats, images, mesh=None):
+    """Run the jitted pipeline, optionally with the batch sharded over the
+    mesh's data axis (last partial batches fall back to single-device)."""
+    x = jnp.asarray(images)
+    if mesh is not None:
+        from pytorch_object_detection_tpu.parallel.mesh import batch_sharding
+
+        n_data = mesh.shape["data"]
+        if x.shape[0] % n_data == 0:
+            import jax as _jax
+
+            with mesh:
+                x = _jax.device_put(x, batch_sharding(mesh))
+                return pipeline(params, batch_stats, x)
+    return pipeline(params, batch_stats, x)
+
+
 def _collect(det, scales, max_out: int = 300):
     """Fetch detections to host, unscale, and trim to valid entries."""
     scores = np.asarray(det.scores)
@@ -82,8 +99,13 @@ def evaluate_voc(
     iou_threshold: float = 0.5,
     num_workers: int = 8,
     verbose: bool = True,
+    mesh=None,
 ) -> Dict:
-    """Full VOC eval: per-class AP@0.5, mAP, images/sec (reference test.py)."""
+    """Full VOC eval: per-class AP@0.5, mAP, images/sec (reference test.py).
+
+    Pass a Mesh to shard each eval batch over the 'data' axis (params stay
+    replicated; batch_size must divide by the mesh's data size).
+    """
     canvas_hw = dataset.canvas_hw
     pipeline = make_eval_pipeline(model, strides, canvas_hw)
     loader = DetectionLoader(
@@ -94,7 +116,7 @@ def evaluate_voc(
     n_images = 0
     t0 = time.perf_counter()
     for images, boxes, labels, scales, _cw in loader:
-        det = pipeline(params, batch_stats, jnp.asarray(images))
+        det = _run_pipeline(pipeline, params, batch_stats, images, mesh)
         for i, (b, c, s) in enumerate(_collect(det, scales)):
             gt_valid = labels[i] > 0
             gt_boxes.append(boxes[i][gt_valid] / scales[i])
@@ -133,6 +155,7 @@ def evaluate_coco(
     num_workers: int = 8,
     results_json: Optional[str] = None,
     verbose: bool = True,
+    mesh=None,
 ) -> Dict:
     """COCO-protocol eval; optionally dumps a results JSON
     (xyxy -> xywh, original coords — reference Test_coco.py:144-177)."""
@@ -150,7 +173,7 @@ def evaluate_coco(
     batch_idx = 0
     t0 = time.perf_counter()
     for images, boxes, labels, scales, _cw in loader:
-        det = pipeline(params, batch_stats, jnp.asarray(images))
+        det = _run_pipeline(pipeline, params, batch_stats, images, mesh)
         collected = _collect(det, scales)
         for i, (b, c, s) in enumerate(collected):
             img_global = batch_idx * batch_size + i

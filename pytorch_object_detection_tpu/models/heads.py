@@ -51,21 +51,21 @@ class FCOSHead(nn.Module):
     def __call__(self, levels) -> LevelOutputs:
         cls_tower = [
             (
-                Conv(self.features, 3, use_bias=False, init="head", name=f"cls_tower{i}"),
+                Conv(self.features, 3, use_bias=False, winit="head", name=f"cls_tower{i}"),
                 GroupNorm32(name=f"cls_gn{i}"),
             )
             for i in range(self.num_convs)
         ]
         reg_tower = [
             (
-                Conv(self.features, 3, use_bias=False, init="head", name=f"reg_tower{i}"),
+                Conv(self.features, 3, use_bias=False, winit="head", name=f"reg_tower{i}"),
                 GroupNorm32(name=f"reg_gn{i}"),
             )
             for i in range(self.num_convs)
         ]
-        cls_pred = Conv(self.num_classes, 3, init="head", bias_const=prior_bias(self.prior), name="cls_pred")
-        cnt_pred = Conv(1, 3, init="head", name="cnt_pred")
-        reg_pred = Conv(4, 3, init="head", name="reg_pred")
+        cls_pred = Conv(self.num_classes, 3, winit="head", bias_const=prior_bias(self.prior), name="cls_pred")
+        cnt_pred = Conv(1, 3, winit="head", name="cnt_pred")
+        reg_pred = Conv(4, 3, winit="head", name="reg_pred")
         scales = [ScaleExp(self.scale_init, name=f"scale{i}") for i in range(self.num_levels)]
 
         cls_out, cnt_out, reg_out = [], [], []

@@ -65,9 +65,9 @@ class SubNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(4):
-            x = relu(Conv(self.features, 3, init="head", name=f"conv{i}")(x))
+            x = relu(Conv(self.features, 3, winit="head", name=f"conv{i}")(x))
         return Conv(
-            self.out_channels, 3, init="head", bias_const=self.bias_const, name="out"
+            self.out_channels, 3, winit="head", bias_const=self.bias_const, name="out"
         )(x)
 
 

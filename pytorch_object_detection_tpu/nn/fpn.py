@@ -46,14 +46,14 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         c3, c4, c5 = feats
-        p5 = Conv(self.features, kernel=1, init="fpn", name="lateral5")(c5)
-        p4 = upsample2x(p5) + Conv(self.features, kernel=1, init="fpn", name="lateral4")(c4)
-        p4 = Conv(self.features, kernel=3, init="fpn", name="smooth4")(p4)
-        p3 = upsample2x(p4) + Conv(self.features, kernel=1, init="fpn", name="lateral3")(c3)
-        p3 = Conv(self.features, kernel=3, init="fpn", name="smooth3")(p3)
-        p5 = Conv(self.features, kernel=3, init="fpn", name="smooth5")(p5)
-        p6 = Conv(self.features, kernel=3, stride=2, init="fpn", name="down6")(p5)
-        p7 = Conv(self.features, kernel=3, stride=2, init="fpn", name="down7")(relu(p6))
+        p5 = Conv(self.features, kernel=1, winit="fpn", name="lateral5")(c5)
+        p4 = upsample2x(p5) + Conv(self.features, kernel=1, winit="fpn", name="lateral4")(c4)
+        p4 = Conv(self.features, kernel=3, winit="fpn", name="smooth4")(p4)
+        p3 = upsample2x(p4) + Conv(self.features, kernel=1, winit="fpn", name="lateral3")(c3)
+        p3 = Conv(self.features, kernel=3, winit="fpn", name="smooth3")(p3)
+        p5 = Conv(self.features, kernel=3, winit="fpn", name="smooth5")(p5)
+        p6 = Conv(self.features, kernel=3, stride=2, winit="fpn", name="down6")(p5)
+        p7 = Conv(self.features, kernel=3, stride=2, winit="fpn", name="down7")(relu(p6))
         return p3, p4, p5, p6, p7
 
 

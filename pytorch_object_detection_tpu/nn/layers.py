@@ -63,8 +63,9 @@ FPN_KAIMING_INIT = kaiming_uniform(1.0)
 class Conv(nn.Module):
     """2D conv with torch-compatible padding arithmetic and init.
 
-    ``init``: 'torch' (default torch Conv2d), 'head' (normal 0.01, zero bias),
-    'fpn' (kaiming uniform a=1, zero bias), 'resnet' (kaiming normal fan-out).
+    ``winit``: 'torch' (default torch Conv2d), 'head' (normal 0.01, zero
+    bias), 'fpn' (kaiming uniform a=1, zero bias), 'resnet' (kaiming normal
+    fan-out).
     """
 
     features: int
@@ -73,7 +74,9 @@ class Conv(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = True
-    init: str = "torch"
+    # NOTE: named `winit`, not `init` — a field called `init` would shadow
+    # linen Module.init and break direct `Conv(...).init(...)` calls
+    winit: str = "torch"
     bias_const: Optional[float] = None
 
     @nn.compact
@@ -82,11 +85,11 @@ class Conv(nn.Module):
         pad = d * (k - 1) // 2
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.groups) * k * k
-        if self.init == "head":
+        if self.winit == "head":
             kernel_init, bias_init = HEAD_NORMAL_INIT, nn.initializers.zeros
-        elif self.init == "fpn":
+        elif self.winit == "fpn":
             kernel_init, bias_init = FPN_KAIMING_INIT, nn.initializers.zeros
-        elif self.init == "resnet":
+        elif self.winit == "resnet":
             kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
             bias_init = nn.initializers.zeros
         else:
@@ -114,7 +117,9 @@ class DepthwiseConv(nn.Module):
     stride: int = 1
     dilation: int = 1
     use_bias: bool = False
-    init: str = "torch"
+    # NOTE: named `winit`, not `init` — a field called `init` would shadow
+    # linen Module.init and break direct `Conv(...).init(...)` calls
+    winit: str = "torch"
 
     @nn.compact
     def __call__(self, x):
@@ -125,7 +130,7 @@ class DepthwiseConv(nn.Module):
             self.dilation,
             groups=x.shape[-1],
             use_bias=self.use_bias,
-            init=self.init,
+            winit=self.winit,
             name="dw",
         )(x)
 

@@ -34,14 +34,14 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.width * 4
-        y = Conv(self.width, kernel=1, use_bias=False, init="resnet", name="conv1")(x)
+        y = Conv(self.width, kernel=1, use_bias=False, winit="resnet", name="conv1")(x)
         y = relu(BatchNorm(name="bn1")(y, train))
-        y = Conv(self.width, kernel=3, stride=self.stride, use_bias=False, init="resnet", name="conv2")(y)
+        y = Conv(self.width, kernel=3, stride=self.stride, use_bias=False, winit="resnet", name="conv2")(y)
         y = relu(BatchNorm(name="bn2")(y, train))
-        y = Conv(out_ch, kernel=1, use_bias=False, init="resnet", name="conv3")(y)
+        y = Conv(out_ch, kernel=1, use_bias=False, winit="resnet", name="conv3")(y)
         y = BatchNorm(name="bn3")(y, train)
         if self.stride != 1 or x.shape[-1] != out_ch:
-            x = Conv(out_ch, kernel=1, stride=self.stride, use_bias=False, init="resnet", name="downsample_conv")(x)
+            x = Conv(out_ch, kernel=1, stride=self.stride, use_bias=False, winit="resnet", name="downsample_conv")(x)
             x = BatchNorm(name="downsample_bn")(x, train)
         return relu(x + y)
 
@@ -92,7 +92,7 @@ class ResNet50(nn.Module):
                 name="conv1_s2d",
             )(x)
         else:
-            x = Conv(64, kernel=7, stride=2, use_bias=False, init="resnet", name="conv1")(x)
+            x = Conv(64, kernel=7, stride=2, use_bias=False, winit="resnet", name="conv1")(x)
         x = relu(BatchNorm(name="bn1")(x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -164,3 +164,22 @@ def test_torch_state_dict_converter(tmp_path):
         jnp.zeros((1, 64, 64, 3)), False,
     )
     assert out[-1].shape == (1, 2, 2, 2048)
+
+
+def test_data_parallel_eval_matches_single_device(tmp_path):
+    """Eval with the batch sharded over the 8-device mesh == single device."""
+    from pytorch_object_detection_tpu.parallel.mesh import create_mesh
+
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root, n=8)
+    dataset = VOCDataset(root, "trainval", canvas_hw=HW)
+    model = HISFCOS(num_classes=20, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *HW, 3))
+
+    r1 = evaluate_voc(model, state.params, state.batch_stats, dataset,
+                      strides=STRIDES, batch_size=8, num_workers=2, verbose=False)
+    mesh = create_mesh()
+    r8 = evaluate_voc(model, state.params, state.batch_stats, dataset,
+                      strides=STRIDES, batch_size=8, num_workers=2, verbose=False, mesh=mesh)
+    assert r8["num_images"] == r1["num_images"] == 8
+    np.testing.assert_allclose(r8["mAP"], r1["mAP"], atol=1e-6)
