@@ -81,4 +81,10 @@ def main(batch_size: int = 64, iters: int = 20, hw=(512, 512)):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # tunnel flake insurance: one retry
+        import traceback
+
+        traceback.print_exc()
+        main()

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,22 @@ import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class Batch(NamedTuple):
+    """One statically-shaped host batch.
+
+    Iterating a Batch unpacks like the plain 5-tuple the train loop uses;
+    ``image_ids`` carries dataset identity for evaluators (order-independent,
+    so multi-host sharded eval attributes detections correctly).
+    """
+
+    images: np.ndarray  # uint8 [B, H, W, 3]
+    boxes: np.ndarray  # f32 [B, M, 4], -1 padded
+    labels: np.ndarray  # i32 [B, M], -1 padded
+    scales: np.ndarray  # f32 [B]
+    content_w: np.ndarray  # i32 [B]
+    image_ids: List[str]
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +198,7 @@ class DetectionLoader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _batch_from_samples(self, samples) -> Tuple[np.ndarray, ...]:
+    def _batch_from_samples(self, samples) -> "Batch":
         b = len(samples)
         h, w = samples[0].image.shape[:2]
         images = np.zeros((b, h, w, 3), np.uint8)
@@ -190,6 +206,7 @@ class DetectionLoader:
         labels = np.full((b, self.max_boxes), -1, np.int32)
         scales = np.zeros((b,), np.float32)
         content_w = np.zeros((b,), np.int32)
+        ids = []
         for i, s in enumerate(samples):
             images[i] = s.image
             n = min(len(s.boxes), self.max_boxes)
@@ -198,7 +215,8 @@ class DetectionLoader:
                 labels[i, :n] = s.labels[:n]
             scales[i] = s.scale
             content_w[i] = s.content_hw[1] or w
-        return images, boxes, labels, scales, content_w
+            ids.append(s.image_id)
+        return Batch(images, boxes, labels, scales, content_w, ids)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         from concurrent.futures import ThreadPoolExecutor

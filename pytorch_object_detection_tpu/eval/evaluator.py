@@ -115,16 +115,16 @@ def evaluate_voc(
     gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores = [], [], [], [], []
     n_images = 0
     t0 = time.perf_counter()
-    for images, boxes, labels, scales, _cw in loader:
-        det = _run_pipeline(pipeline, params, batch_stats, images, mesh)
-        for i, (b, c, s) in enumerate(_collect(det, scales)):
-            gt_valid = labels[i] > 0
-            gt_boxes.append(boxes[i][gt_valid] / scales[i])
-            gt_labels.append(labels[i][gt_valid])
+    for batch in loader:
+        det = _run_pipeline(pipeline, params, batch_stats, batch.images, mesh)
+        for i, (b, c, s) in enumerate(_collect(det, batch.scales)):
+            gt_valid = batch.labels[i] > 0
+            gt_boxes.append(batch.boxes[i][gt_valid] / batch.scales[i])
+            gt_labels.append(batch.labels[i][gt_valid])
             pred_boxes.append(b)
             pred_labels.append(c)
             pred_scores.append(s)
-        n_images += len(images)
+        n_images += len(batch.images)
     elapsed = time.perf_counter() - t0
 
     aps = eval_voc_ap(
@@ -170,21 +170,17 @@ def evaluate_coco(
     evaluator = COCOEvaluator(num_classes)
     json_records = []
     n_images = 0
-    batch_idx = 0
     t0 = time.perf_counter()
-    for images, boxes, labels, scales, _cw in loader:
-        det = _run_pipeline(pipeline, params, batch_stats, images, mesh)
-        collected = _collect(det, scales)
+    for batch in loader:
+        det = _run_pipeline(pipeline, params, batch_stats, batch.images, mesh)
+        collected = _collect(det, batch.scales)
         for i, (b, c, s) in enumerate(collected):
-            img_global = batch_idx * batch_size + i
-            if img_global >= len(dataset.images):
-                break
-            image_id = dataset.images[img_global]["id"]
-            gt_valid = labels[i] > 0
+            image_id = int(batch.image_ids[i])
+            gt_valid = batch.labels[i] > 0
             evaluator.add_image(
                 image_id,
-                boxes[i][gt_valid] / scales[i],
-                labels[i][gt_valid],
+                batch.boxes[i][gt_valid] / batch.scales[i],
+                batch.labels[i][gt_valid],
                 b, c, s,
             )
             if results_json is not None:
@@ -192,14 +188,13 @@ def evaluate_coco(
                     x1, y1, x2, y2 = [float(v) for v in box]
                     json_records.append(
                         {
-                            "image_id": int(image_id),
+                            "image_id": image_id,
                             "category_id": int(dataset.contig_to_cat[int(cls_id)]),
                             "bbox": [x1, y1, x2 - x1, y2 - y1],
                             "score": float(score),
                         }
                     )
-        n_images += len(images)
-        batch_idx += 1
+        n_images += len(batch.images)
     elapsed = time.perf_counter() - t0
 
     if results_json is not None:

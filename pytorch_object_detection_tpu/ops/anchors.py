@@ -117,6 +117,50 @@ def decode_boxes(anchors: jnp.ndarray, loc_preds: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([xy - wh / 2.0, xy + wh / 2.0], axis=-1)
 
 
+def decode_anchor_detections(
+    anchors: jnp.ndarray,
+    loc_preds: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    activation: str = "sigmoid",
+    score_threshold: float = 0.05,
+    nms_iou: float = 0.5,
+    max_detections: int = 300,
+    image_hw=None,
+):
+    """Batched inference decode for anchor-based detectors.
+
+    loc_preds ``[B, N, 4]``, cls_logits ``[B, N, C]``.  ``activation``:
+    'sigmoid' (RetinaNet — C foreground classes) or 'softmax_bg0' (SSD —
+    class 0 is background, dropped).  Returns a
+    :class:`..ops.postprocess.Detections` (fixed shapes, on-device NMS) —
+    the capability of the reference's host-side `DataEncoder.decode`
+    (utill/utills.py:161-179) without the Python NMS loop.
+    """
+    import jax
+
+    from pytorch_object_detection_tpu.ops.boxes import clip_boxes
+    from pytorch_object_detection_tpu.ops.nms import batched_class_nms
+    from pytorch_object_detection_tpu.ops.postprocess import Detections
+
+    if activation == "softmax_bg0":
+        probs = jax.nn.softmax(cls_logits, axis=-1)[..., 1:]  # drop background
+    else:
+        probs = jax.nn.sigmoid(cls_logits)
+    score = jnp.max(probs, axis=-1)
+    classes = jnp.argmax(probs, axis=-1).astype(jnp.int32) + 1
+
+    boxes = decode_boxes(anchors, loc_preds)
+    k = min(max_detections, score.shape[-1])
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    top_classes = jnp.take_along_axis(classes, top_idx, axis=1)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    if image_hw is not None:
+        top_boxes = clip_boxes(top_boxes, image_hw[0], image_hw[1])
+    valid = top_scores >= score_threshold
+    keep = batched_class_nms(top_boxes, top_scores, top_classes, valid, nms_iou)
+    return Detections(top_scores, top_classes, top_boxes, keep)
+
+
 def smooth_l1(x: jnp.ndarray, beta: float = 1.0 / 9.0) -> jnp.ndarray:
     ax = jnp.abs(x)
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)

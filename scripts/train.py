@@ -43,6 +43,23 @@ def build_dataset(cfg, train: bool = True):
         return COCODataset(ds_cfg["ValData"], ds_cfg["ValAnnotation"], canvas, filter_empty=False)
 
 
+def _run_eval(cfg, model, state) -> float:
+    """Mid-training evaluation on the configured test split; returns mAP."""
+    from pytorch_object_detection_tpu.core import config as C
+    from pytorch_object_detection_tpu.eval.evaluator import evaluate_coco, evaluate_voc
+
+    dataset = build_dataset(cfg, train=False)
+    if cfg["model"]["dataset"] == "VOC":
+        result = evaluate_voc(
+            model, state.params, state.batch_stats, dataset,
+            strides=C.strides(cfg), num_classes=C.num_classes(cfg), verbose=False,
+        )
+        return float(result["mAP"])
+    result = evaluate_coco(model, state.params, state.batch_stats, dataset,
+                           strides=C.strides(cfg), verbose=False)
+    return float(result["AP"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="config/main.yaml")
@@ -52,6 +69,8 @@ def main():
     ap.add_argument("--resume", default="", help="checkpoint dir/path to resume from")
     ap.add_argument("--pretrained-backbone", default="", help="torchvision resnet50 .pth to graft")
     ap.add_argument("--log-every", type=int, default=20)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="run VOC/COCO eval every N epochs (0 = off); tracks best mAP")
     args = ap.parse_args()
 
     from pytorch_object_detection_tpu.core import config as C
@@ -118,7 +137,8 @@ def main():
                 boxes[:, :n, 2:] = np.minimum(cxy + wh / 2, np.array(canvas[::-1]) - 1)
                 labels[:, :n] = rng_np.integers(1, n_classes + 1, (batch_size, n))
                 yield (imgs, boxes, labels,
-                       np.ones(batch_size, np.float32), np.full(batch_size, canvas[1], np.int32))
+                       np.ones(batch_size, np.float32), np.full(batch_size, canvas[1], np.int32),
+                       [str(i) for i in range(batch_size)])
 
         epochs, loader = 1, batches()
     else:
@@ -132,10 +152,11 @@ def main():
     step_count = int(state.step)
     t0 = time.perf_counter()
     done = False
+    best_map = -1.0
     for epoch in range(epochs):
         epoch_iter = loader if args.synthetic else iter(loader)
         for batch in epoch_iter:
-            images_u8, boxes, labels, _scales, content_w = batch
+            images_u8, boxes, labels, _scales, content_w = batch[:5]
             rng, k = jax.random.split(rng)
             imgs, bxs = preprocess(k, jnp.asarray(images_u8), jnp.asarray(boxes), jnp.asarray(content_w))
             if mesh is not None:
@@ -158,6 +179,21 @@ def main():
                 break
         if jax.process_index() == 0 and not args.synthetic:
             ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
+        if (
+            args.eval_every
+            and not args.synthetic
+            and (epoch + 1) % args.eval_every == 0
+            and jax.process_index() == 0
+        ):
+            mAP = _run_eval(cfg, model, state)
+            if writer:
+                writer.write(step_count, {"mAP": mAP})
+            if mAP > best_map:
+                best_map = mAP
+                ckpt.save_checkpoint(
+                    os.path.join(args.checkpoint_dir, cfg["savename"] + "_best"), state, keep=1
+                )
+                print(f"new best mAP {mAP:.4f} at epoch {epoch}", flush=True)
         if done:
             break
     if jax.process_index() == 0:

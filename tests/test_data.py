@@ -66,7 +66,8 @@ def test_loader_static_shapes(tmp_path):
     loader = DetectionLoader(ds, batch_size=2, max_boxes=16, num_workers=2, drop_last=False)
     batches = list(loader)
     assert len(batches) == 2
-    images, boxes, labels, scales, content_w = batches[0]
+    images, boxes, labels, scales, content_w, image_ids = batches[0]
+    assert set(image_ids) <= {"img000", "img001", "img002"}  # loader shuffles
     assert images.shape == (2, 256, 256, 3) and images.dtype == np.uint8
     assert boxes.shape == (2, 16, 4)
     assert labels.shape == (2, 16)

@@ -35,7 +35,7 @@ def test_full_slice(tmp_path):
 
     rng = jax.random.PRNGKey(1)
     losses = []
-    for images, boxes, labels, scales, content_w in loader:
+    for images, boxes, labels, scales, content_w, _ids in loader:
         rng, k = jax.random.split(rng)
         imgs, bxs = preprocess(k, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(content_w))
         state, metrics = step(state, imgs, bxs, jnp.asarray(labels))
@@ -183,3 +183,58 @@ def test_data_parallel_eval_matches_single_device(tmp_path):
                       strides=STRIDES, batch_size=8, num_workers=2, verbose=False, mesh=mesh)
     assert r8["num_images"] == r1["num_images"] == 8
     np.testing.assert_allclose(r8["mAP"], r1["mAP"], atol=1e-6)
+
+
+def _write_coco_fixture(root, n=4):
+    """Tiny COCO-format dataset on disk."""
+    import json
+
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "images"))
+    images, annotations = [], []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        w, h = 200 + 10 * i, 160 + 10 * i
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        fname = f"{i:012d}.jpg"
+        Image.fromarray(arr).save(os.path.join(root, "images", fname))
+        images.append({"id": i + 1, "file_name": fname, "width": w, "height": h})
+        annotations.append({
+            "id": 10 * i, "image_id": i + 1, "category_id": 7,
+            "bbox": [10, 10, 60, 50], "iscrowd": 0, "area": 3000,
+        })
+    cats = [{"id": 7, "name": "car"}, {"id": 9, "name": "dog"}]
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump({"images": images, "annotations": annotations, "categories": cats}, f)
+    return os.path.join(root, "images"), ann_path
+
+
+def test_coco_dataset_and_eval_harness(tmp_path):
+    from pytorch_object_detection_tpu.data.coco import COCODataset
+    from pytorch_object_detection_tpu.eval.evaluator import evaluate_coco
+
+    img_dir, ann = _write_coco_fixture(str(tmp_path / "coco"))
+    ds = COCODataset(img_dir, ann, canvas_hw=HW)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s.labels[0] == 1  # category 7 -> contiguous 1
+    assert ds.contig_to_cat[1] == 7
+
+    model = HISFCOS(num_classes=2, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *HW, 3))
+    out_json = str(tmp_path / "results.json")
+    stats = evaluate_coco(
+        model, state.params, state.batch_stats, ds,
+        strides=STRIDES, batch_size=2, num_workers=2,
+        results_json=out_json, verbose=False,
+    )
+    assert stats["num_images"] == 4
+    assert 0.0 <= stats["AP"] <= 1.0
+    import json
+
+    records = json.load(open(out_json))
+    if records:
+        assert records[0]["category_id"] in (7, 9)  # back-mapped ids
+        assert len(records[0]["bbox"]) == 4

@@ -117,3 +117,37 @@ def test_registry_includes_zoo():
     assert {"FCOS", "HISFCOS", "MNFCOS", "MC_FCOS", "RETINANET", "SSD300"} <= set(available_models())
     m = build_model("SSD300", num_classes=21)
     assert m.num_classes == 21
+
+
+def test_anchor_decode_detections_end_to_end():
+    """RetinaNet-style decode: plant one confident anchor, recover its box."""
+    import jax
+    from pytorch_object_detection_tpu.ops.anchors import decode_anchor_detections
+
+    shapes = [(8, 8)]
+    anchors = A.generate_anchors(shapes, [8])
+    n = anchors.shape[0]
+    loc = jnp.zeros((1, n, 4))  # zero offsets -> boxes == anchors
+    cls = jnp.full((1, n, 4), -9.0)
+    cls = cls.at[0, 17, 2].set(8.0)  # anchor 17, class index 2 -> label 3
+    det = decode_anchor_detections(anchors, loc, cls, "sigmoid", 0.3, 0.5, 20, (64, 64))
+    assert bool(det.valid[0, 0])
+    assert int(det.classes[0, 0]) == 3
+    want = np.clip(np.asarray(anchors[17]), 0, 63)
+    np.testing.assert_allclose(np.asarray(det.boxes[0, 0]), want, atol=1e-4)
+    assert int(det.valid.sum()) == 1
+
+
+def test_ssd_softmax_decode():
+    import jax
+    from pytorch_object_detection_tpu.models.ssd import default_boxes
+    from pytorch_object_detection_tpu.ops.anchors import decode_anchor_detections
+
+    boxes = default_boxes(300)
+    n = boxes.shape[0]
+    loc = jnp.zeros((1, n, 4))
+    conf = jnp.zeros((1, n, 21))  # 21 classes incl background
+    conf = conf.at[0, 100, 5].set(10.0)
+    det = decode_anchor_detections(boxes, loc, conf, "softmax_bg0", 0.5, 0.45, 50)
+    assert bool(det.valid[0, 0])
+    assert int(det.classes[0, 0]) == 5  # softmax_bg0 drops bg then 1-bases
