@@ -170,14 +170,24 @@ def make_train_step(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     bn_train: bool = False,
     donate: bool = True,
+    remat: bool = False,
+    cnt_mode: str = "bce",
 ):
     """Build the fused jitted train step.
 
     The returned fn is ``(state, images[B,H,W,3], boxes[B,M,4], labels[B,M])
     -> (state, metrics)`` and works unchanged on one chip or under a Mesh
     with the batch sharded over 'data' (grads come out replicated; XLA
-    inserts the psum).
+    inserts the psum).  ``remat=True`` rematerializes the forward in the
+    backward pass (jax.checkpoint): trades ~1/3 more FLOPs for activation
+    memory, enabling much larger per-chip batches.
     """
+
+    def apply_model(apply_vars, images, mutable):
+        return model.apply(apply_vars, images, True, mutable=mutable)
+
+    if remat:
+        apply_model = jax.checkpoint(apply_model, static_argnums=(2,))
 
     def step_fn(state: TrainState, images, boxes, labels):
         def loss_fn(params):
@@ -185,9 +195,7 @@ def make_train_step(
             if state.batch_stats:
                 apply_vars["batch_stats"] = _cast_tree(state.batch_stats, compute_dtype)
             mutable = ["batch_stats"] if bn_train else False
-            out = model.apply(
-                apply_vars, images.astype(compute_dtype), True, mutable=mutable
-            )
+            out = apply_model(apply_vars, images.astype(compute_dtype), mutable)
             if bn_train:
                 (cls_l, cnt_l, reg_l), updates = out
                 new_stats = _cast_tree(updates["batch_stats"], jnp.float32)
@@ -198,7 +206,9 @@ def make_train_step(
             cnt_p = flatten_level_preds([c.astype(jnp.float32) for c in cnt_l])
             reg_p = flatten_level_preds([r.astype(jnp.float32) for r in reg_l])
             tgt = generate_targets(level_shapes, strides, limit_ranges, boxes, labels)
-            losses = fcos_loss(cls_p, cnt_p, reg_p, tgt.cls, tgt.cnt, tgt.reg, reg_mode)
+            losses = fcos_loss(
+                cls_p, cnt_p, reg_p, tgt.cls, tgt.cnt, tgt.reg, reg_mode, cnt_mode
+            )
             return losses["total"], (losses, new_stats)
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -88,3 +88,61 @@ def test_gradcam_shapes():
         cam = gradcam_fcos(m, v, img)
         assert cam.shape == (1, 128, 128)
         assert 0.0 <= cam.min() and cam.max() <= 1.0
+
+
+def test_export_eval_pipeline_roundtrip(tmp_path):
+    """Serialize the full detection pipeline and run the deserialized blob."""
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.utils.export import (
+        export_eval_pipeline,
+        load_exported,
+        save_exported,
+    )
+
+    hw = (128, 128)
+    model = HISFCOS(num_classes=5, features=64)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), False)
+    exported = export_eval_pipeline(
+        model, v["params"], v.get("batch_stats", {}), 2, hw, max_detections=50
+    )
+    path = str(tmp_path / "pipeline.jaxexport")
+    save_exported(exported, path)
+    loaded = load_exported(path)
+
+    images = np.random.default_rng(0).integers(0, 255, (2, *hw, 3), np.uint8)
+    det = loaded.call(jnp.asarray(images))
+    scores, classes, boxes, valid = det
+    assert boxes.shape == (2, 50, 4)
+    # must match the live pipeline
+    from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline
+
+    live = make_eval_pipeline(model, (8, 16, 32, 64, 128), hw, max_detections=50)(
+        v["params"], v.get("batch_stats", {}), jnp.asarray(images)
+    )
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(live.scores), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(live.valid))
+
+
+def test_remat_train_step_matches_baseline():
+    from pytorch_object_detection_tpu.data.synthetic import synthetic_batch
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.train.trainer import create_train_state, make_train_step
+
+    hw = (128, 128)
+    strides = [8, 16, 32, 64, 128]
+    shapes = [(hw[0] // s, hw[1] // s) for s in strides]
+    ranges = [(-1, 32), (32, 96), (96, 192), (192, 384), (384, 9999999)]
+    model = HISFCOS(num_classes=5, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *hw, 3), {"lr": 1e-2})
+    imgs, boxes, labels = synthetic_batch(jax.random.PRNGKey(1), 2, hw, 5, max_boxes=8)
+
+    s_base, m_base = make_train_step(model, shapes, strides, ranges, compute_dtype=jnp.float32, donate=False)(
+        state, imgs, boxes, labels
+    )
+    s_remat, m_remat = make_train_step(
+        model, shapes, strides, ranges, compute_dtype=jnp.float32, donate=False, remat=True
+    )(state, imgs, boxes, labels)
+    np.testing.assert_allclose(float(m_base["total"]), float(m_remat["total"]), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(s_base.params["head"])[0]
+    b = jax.tree_util.tree_leaves(s_remat.params["head"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
