@@ -100,6 +100,9 @@ def evaluate_voc(
     num_workers: int = 8,
     verbose: bool = True,
     mesh=None,
+    score_threshold: float = 0.05,
+    nms_iou: float = 0.6,
+    max_detections: int = 1000,
 ) -> Dict:
     """Full VOC eval: per-class AP@0.5, mAP, images/sec (reference test.py).
 
@@ -107,7 +110,9 @@ def evaluate_voc(
     replicated; batch_size must divide by the mesh's data size).
     """
     canvas_hw = dataset.canvas_hw
-    pipeline = make_eval_pipeline(model, strides, canvas_hw)
+    pipeline = make_eval_pipeline(
+        model, strides, canvas_hw, score_threshold, nms_iou, max_detections
+    )
     loader = DetectionLoader(
         dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers
     )
@@ -156,6 +161,9 @@ def evaluate_coco(
     results_json: Optional[str] = None,
     verbose: bool = True,
     mesh=None,
+    score_threshold: float = 0.05,
+    nms_iou: float = 0.6,
+    max_detections: int = 1000,
 ) -> Dict:
     """COCO-protocol eval; optionally dumps a results JSON
     (xyxy -> xywh, original coords — reference Test_coco.py:144-177)."""
@@ -163,7 +171,9 @@ def evaluate_coco(
 
     canvas_hw = dataset.canvas_hw
     num_classes = len(dataset.class_names)
-    pipeline = make_eval_pipeline(model, strides, canvas_hw)
+    pipeline = make_eval_pipeline(
+        model, strides, canvas_hw, score_threshold, nms_iou, max_detections
+    )
     loader = DetectionLoader(
         dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers
     )

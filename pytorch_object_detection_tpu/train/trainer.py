@@ -222,6 +222,44 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_anchor_train_step(
+    model,
+    anchors,
+    num_classes: int,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    pos_iou: float = 0.5,
+    neg_iou: float = 0.4,
+    donate: bool = True,
+):
+    """Fused train step for anchor-based detectors (RetinaNet/SSD layout).
+
+    The reference ships RetinaNet without any training path (SURVEY §2.6
+    'scaffold only'); this completes it: anchor target encoding (0.5/0.4
+    with ignore band) + focal/smooth-L1 loss + optimizer update in one jit.
+    Model must return ``(loc_preds [B,N,4], cls_logits [B,N,C])``.
+    """
+    from pytorch_object_detection_tpu.ops.anchors import encode_targets, retinanet_loss
+
+    def step_fn(state: TrainState, images, boxes, labels):
+        def loss_fn(params):
+            apply_vars = {"params": _cast_tree(params, compute_dtype)}
+            if state.batch_stats:
+                apply_vars["batch_stats"] = _cast_tree(state.batch_stats, compute_dtype)
+            loc, cls = model.apply(apply_vars, images.astype(compute_dtype), True)
+            loc_t, cls_t = encode_targets(anchors, boxes, labels, pos_iou, neg_iou)
+            losses = retinanet_loss(
+                cls.astype(jnp.float32), loc.astype(jnp.float32), cls_t, loc_t, num_classes
+            )
+            return losses["total"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = _cast_tree(grads, jnp.float32)
+        new_state = state.apply_gradients(grads)
+        return new_state, losses
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_forward(model, compute_dtype: jnp.dtype = jnp.bfloat16):
     """Jitted inference forward returning per-level fp32 outputs."""
 

@@ -42,9 +42,13 @@ def main():
 
     ds_cfg = cfg["dataset_setting"]
     dataset = COCODataset(ds_cfg["ValData"], ds_cfg["ValAnnotation"], canvas, filter_empty=False)
+    eval_cfg = block.get("eval", {})
     stats = evaluate_coco(
         model, state.params, state.batch_stats, dataset,
         strides=C.strides(cfg), batch_size=args.batch_size, results_json=args.results_json,
+        score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
+        nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
+        max_detections=int(eval_cfg.get("max_detections", 1000)),
     )
     # official numbers when pycocotools exists (metric parity)
     try:

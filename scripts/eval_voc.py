@@ -43,9 +43,13 @@ def main():
 
     ds_root = cfg["dataset_setting"].get("test_07", cfg["dataset_setting"].get("train_07"))
     dataset = VOCDataset([ds_root], args.split, canvas)
+    eval_cfg = block.get("eval", {})  # optional overrides of the reference defaults
     evaluate_voc(
         model, state.params, state.batch_stats, dataset,
         strides=C.strides(cfg), batch_size=args.batch_size, num_classes=C.num_classes(cfg),
+        score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
+        nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
+        max_detections=int(eval_cfg.get("max_detections", 1000)),
     )
 
 

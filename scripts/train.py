@@ -153,6 +153,20 @@ def main():
     t0 = time.perf_counter()
     done = False
     best_map = -1.0
+
+    # preemption handling: SIGTERM/SIGINT checkpoint-and-exit (the reference's
+    # commented train_interupter hook, train.py:144-146, made real — combined
+    # with orbax full-state restore this gives true preemption recovery)
+    import signal
+
+    interrupted = {"flag": False}
+
+    def _on_signal(signum, _frame):
+        interrupted["flag"] = True
+        print(f"signal {signum}: checkpointing and exiting after this step", flush=True)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     for epoch in range(epochs):
         epoch_iter = loader if args.synthetic else iter(loader)
         for batch in epoch_iter:
@@ -167,6 +181,10 @@ def main():
             step_count += 1
             if step_count % args.log_every == 0:
                 m = {k2: float(v) for k2, v in metrics.items()}
+                if not np.isfinite(m["total"]):  # NaN guard: stop, keep last good ckpt
+                    print(f"NON-FINITE loss at step {step_count}: {m} — stopping", flush=True)
+                    done = True
+                    break
                 rate = args.log_every * batch_size / (time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 if writer:
@@ -174,8 +192,10 @@ def main():
                 print(f"step {step_count} epoch {epoch}: " +
                       " ".join(f"{k2}={v:.4f}" for k2, v in m.items()) +
                       f" ({rate:.1f} img/s)", flush=True)
-            if args.steps and step_count >= args.steps:
+            if interrupted["flag"] or (args.steps and step_count >= args.steps):
                 done = True
+                if interrupted["flag"] and jax.process_index() == 0:
+                    ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
                 break
         if jax.process_index() == 0 and not args.synthetic:
             ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)

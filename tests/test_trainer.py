@@ -107,3 +107,24 @@ def test_train_step_data_parallel_mesh():
     a = jax.tree_util.tree_leaves(new_state.params["head"])[0]
     b = jax.tree_util.tree_leaves(new_state_1.params["head"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_anchor_train_step_retinanet():
+    """RetinaNet trains: loss finite and decreasing over a few steps."""
+    from pytorch_object_detection_tpu.models.retinanet import RetinaNet
+    from pytorch_object_detection_tpu.ops.anchors import generate_anchors
+    from pytorch_object_detection_tpu.train.trainer import make_anchor_train_step
+
+    hw = (128, 128)
+    shapes = [(hw[0] // s, hw[1] // s) for s in STRIDES]
+    anchors = generate_anchors(shapes, STRIDES)
+    model = RetinaNet(num_classes=5, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *hw, 3), {"lr": 1e-3})
+    step = make_anchor_train_step(model, anchors, 5, compute_dtype=jnp.float32, donate=False)
+    imgs, boxes, labels = synthetic_batch(jax.random.PRNGKey(1), 2, hw, 5, max_boxes=8)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, imgs, boxes, labels)
+        losses.append(float(metrics["total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
