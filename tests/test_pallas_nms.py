@@ -39,3 +39,33 @@ def test_pallas_nms_batch_padding():
         pallas_batched_class_nms(boxes, scores, classes, valid, 0.5, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_resnet_matches_linen():
+    """Pallas fused-epilogue ResNet forward == linen forward (fp32)."""
+    import jax
+
+    from pytorch_object_detection_tpu.nn.fused_resnet import resnet50_fused_forward
+    from pytorch_object_detection_tpu.nn.resnet import ResNet50
+
+    m = ResNet50()
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(1), img, False)
+    want = m.apply(v, img, False)
+    got = resnet50_fused_forward(v, img, compute_dtype=jnp.float32, interpret=True)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-4)
+
+
+def test_matmul_bn_act_epilogue():
+    from pytorch_object_detection_tpu.ops.pallas_fused import matmul_bn_act
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    got = matmul_bn_act(x, w, scale, shift, res, act=True, interpret=True)
+    want = np.maximum(np.asarray(x) @ np.asarray(w) * np.asarray(scale) + np.asarray(shift) + np.asarray(res), 0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
