@@ -14,6 +14,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if __import__("os").environ.get("PODT_FORCE_CPU"):
+    # test hook: the axon plugin ignores JAX_PLATFORMS, force via config
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
