@@ -99,6 +99,7 @@ def main():
 
     model = build_model(name, n_classes, int(block["channel"]))
     rng = jax.random.PRNGKey(0)
+    sched = block.get("schedule", {})  # optional: warmup_steps/warmup_factor/milestones/gamma
     state = create_train_state(
         model,
         rng,
@@ -108,6 +109,10 @@ def main():
             "lr": float(block["optimizer"]["lr"]),
             "momentum": float(block["optimizer"].get("momentum", 0.9)),
             "weight_decay": float(block["optimizer"].get("weight_decay", 1e-4)),
+            "warmup_steps": int(sched.get("warmup_steps", 500)),
+            "warmup_factor": float(sched.get("warmup_factor", 1.0 / 3.0)),
+            "milestones": tuple(sched.get("milestones", (120000, 160000))),
+            "gamma": float(sched.get("gamma", 0.1)),
         },
         freeze_bn=True,
         frozen_stages=1 if name == "HISFCOS" else 0,
