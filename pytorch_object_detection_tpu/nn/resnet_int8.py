@@ -1,0 +1,203 @@
+"""int8 PTQ inference forward for the ResNet-50 backbone.
+
+Pure functions over the standard ``nn/resnet.ResNet50`` variables pytree —
+BN is folded into conv weights, weights are quantized per-out-channel int8,
+activations per-tensor int8 (abs-max calibration).  Every bottleneck conv
+runs int8 x int8 -> int32 on the MXU; the dequant + bias + residual + ReLU +
+requant chain is a single elementwise epilogue XLA fuses into the conv, so
+the residual stream lives in HBM as int8.
+
+Flow per bottleneck (block input x_q int8 at scale s_in):
+  a1 = requant(conv(x_q, W1q) * s_in*sw1 + b1, relu, -> s_a1)
+  a2 = requant(conv(a1, W2q) * s_a1*sw2 + b2, relu, -> s_a2)   (stride here)
+  sc = x_q * s_in          (identity)  |  conv(x_q, Wdq)*s_in*swd + bd
+  out_q = requant(conv(a2, W3q)*s_a2*sw3 + b3 + sc, relu, -> s_out)
+All scale algebra is pre-folded at quantization time, so the epilogues are
+one mul + add (+residual) + relu + round per conv.
+
+The stem (7x7 on 3 channels) stays bf16 — 3 input channels underfill the
+MXU regardless of dtype, and the input range is data-dependent.
+
+Counterpart of the reference's fp32 eval forward
+(`/root/reference/model/backbone/resnet50.py:9-65` + `test.py:198-223`),
+redesigned for the TPU serving dtype ladder.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_object_detection_tpu.nn.fused_resnet import _conv, _conv_bn_act, _fold_bn
+from pytorch_object_detection_tpu.ops.quant import (
+    INT8_MAX,
+    act_scale,
+    quantize_act,
+    requantize,
+    weight_qparams,
+)
+
+STAGE_SIZES = (3, 4, 6, 3)
+
+
+def _block_scopes():
+    for stage, blocks in enumerate(STAGE_SIZES):
+        for b in range(blocks):
+            yield f"layer{stage + 1}_{b}", stage, b
+
+
+def _stem_bf16(params, stats, x, compute_dtype):
+    mult, shift = _fold_bn(params["bn1"], stats["bn1"])
+    x = _conv_bn_act(x.astype(compute_dtype), params["conv1"]["conv"]["kernel"].astype(compute_dtype), mult, shift, stride=2)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def calibrate_resnet50(variables, images, compute_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Float forward recording the abs-max at every quantization point.
+
+    Returns {tap_name: scalar} with taps 'stem_out', and per block
+    '<scope>.a1' / '<scope>.a2' / '<scope>.out'.  Jit this and reduce with
+    jnp.maximum across calibration batches.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+    taps = {}
+    x = _stem_bf16(params, stats, images, compute_dtype)
+    taps["stem_out"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+    for scope, stage, b in _block_scopes():
+        p, s = params[scope], stats[scope]
+        stride = 2 if (b == 0 and stage > 0) else 1
+        m1, s1 = _fold_bn(p["bn1"], s["bn1"])
+        m2, s2 = _fold_bn(p["bn2"], s["bn2"])
+        m3, s3 = _fold_bn(p["bn3"], s["bn3"])
+        y = _conv_bn_act(x, p["conv1"]["conv"]["kernel"].astype(compute_dtype), m1, s1)
+        taps[f"{scope}.a1"] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        y = _conv_bn_act(y, p["conv2"]["conv"]["kernel"].astype(compute_dtype), m2, s2, stride)
+        taps[f"{scope}.a2"] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        if "downsample_conv" in p:
+            md, sd = _fold_bn(p["downsample_bn"], s["downsample_bn"])
+            shortcut = _conv_bn_act(
+                x, p["downsample_conv"]["conv"]["kernel"].astype(compute_dtype), md, sd, stride, act=False
+            )
+        else:
+            shortcut = x
+        y = _conv_bn_act(y, p["conv3"]["conv"]["kernel"].astype(compute_dtype), m3, s3, act=False)
+        x = jnp.maximum(y + shortcut, 0.0)
+        taps[f"{scope}.out"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    return taps
+
+
+def quantize_resnet50(variables, act_absmax: Dict) -> Dict:
+    """Fold BN, quantize weights, and pre-fold all scale algebra.
+
+    act_absmax: the (batch-reduced) tap dict from :func:`calibrate_resnet50`.
+    Returns the qtree consumed by :func:`resnet50_int8_forward`.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+    q = {"stem": {
+        "kernel": params["conv1"]["conv"]["kernel"],
+        "bn": (params["bn1"], stats["bn1"]),
+    }}
+    s_prev = act_scale(act_absmax["stem_out"])
+    q["stem_scale"] = s_prev
+
+    for scope, stage, b in _block_scopes():
+        p, s = params[scope], stats[scope]
+        blk = {}
+        s_in = s_prev
+        s_a1 = act_scale(act_absmax[f"{scope}.a1"])
+        s_a2 = act_scale(act_absmax[f"{scope}.a2"])
+        s_out = act_scale(act_absmax[f"{scope}.out"])
+
+        def folded(conv_name, bn_name):
+            m, sh = _fold_bn(p[bn_name], s[bn_name])
+            w = p[conv_name]["conv"]["kernel"].astype(jnp.float32) * m  # per out-ch
+            wq, sw = weight_qparams(w)
+            return wq, sw, sh
+
+        w1q, sw1, b1 = folded("conv1", "bn1")
+        blk["w1"], blk["A1"], blk["B1"] = w1q, s_in * sw1 / s_a1, b1 / s_a1
+        w2q, sw2, b2 = folded("conv2", "bn2")
+        blk["w2"], blk["A2"], blk["B2"] = w2q, s_a1 * sw2 / s_a2, b2 / s_a2
+        w3q, sw3, b3 = folded("conv3", "bn3")
+        blk["w3"], blk["A3"], blk["B3"] = w3q, s_a2 * sw3 / s_out, b3 / s_out
+        if "downsample_conv" in p:
+            wdq, swd, bd = folded("downsample_conv", "downsample_bn")
+            blk["wd"], blk["Ad"], blk["Bd"] = wdq, s_in * swd / s_out, bd / s_out
+        else:
+            blk["short_mul"] = s_in / s_out  # identity shortcut rescale
+        blk["out_scale"] = s_out
+        q[scope] = blk
+        s_prev = s_out
+    return q
+
+
+def _qconv(x_q, w_q, stride=1):
+    k = w_q.shape[0]
+    pad = k // 2
+    acc = jax.lax.conv_general_dilated(
+        x_q, w_q, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,  # int8 x int8 -> int32 on the MXU
+    )
+    return acc.astype(jnp.float32)
+
+
+def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: str = "xla"):
+    """(C3, C4, C5) in ``compute_dtype`` from an int8-quantized backbone.
+
+    backend='xla': plain XLA int8 convs (requant epilogues materialize the
+    int32 accumulator in HBM — correct but bandwidth-bound).
+    backend='pallas': fused Pallas kernels (ops/pallas_qconv) — epilogues
+    (incl. the residual add) run in VMEM, HBM sees int8 only.  The three
+    strided 3x3 convs and the stem stay on XLA.
+    """
+    pallas = backend == "pallas"
+    if pallas:
+        from pytorch_object_detection_tpu.ops.pallas_qconv import qconv1x1, qconv3x3
+
+    stem = qtree["stem"]
+    mult, shift = _fold_bn(*stem["bn"])
+    x = _conv_bn_act(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype), mult, shift, stride=2)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    x_q = quantize_act(x, qtree["stem_scale"])
+
+    outputs = []
+    for stage, blocks in enumerate(STAGE_SIZES):
+        for b in range(blocks):
+            blk = qtree[f"layer{stage + 1}_{b}"]
+            stride = 2 if (b == 0 and stage > 0) else 1
+            if pallas:
+                a1 = qconv1x1(x_q, blk["w1"], blk["A1"], blk["B1"])
+                if stride == 1:
+                    a2 = qconv3x3(a1, blk["w2"], blk["A2"], blk["B2"])
+                else:
+                    a2 = requantize(_qconv(a1, blk["w2"], stride), blk["A2"], blk["B2"])
+                if "wd" in blk:
+                    x_sub = x_q[:, ::stride, ::stride, :] if stride > 1 else x_q
+                    short_q = qconv1x1(x_sub, blk["wd"], blk["Ad"], blk["Bd"], relu=False)
+                    x_q = qconv1x1(a2, blk["w3"], blk["A3"], blk["B3"],
+                                   res_nhwc=short_q, res_scale=1.0)
+                else:
+                    x_q = qconv1x1(a2, blk["w3"], blk["A3"], blk["B3"],
+                                   res_nhwc=x_q, res_scale=blk["short_mul"])
+            else:
+                a1 = requantize(_qconv(x_q, blk["w1"]), blk["A1"], blk["B1"])
+                a2 = requantize(_qconv(a1, blk["w2"], stride), blk["A2"], blk["B2"])
+                pre = _qconv(a2, blk["w3"]) * blk["A3"] + blk["B3"]
+                if "wd" in blk:
+                    short = _qconv(x_q, blk["wd"], stride) * blk["Ad"] + blk["Bd"]
+                else:
+                    short = x_q.astype(jnp.float32) * blk["short_mul"]
+                y = jnp.maximum(pre + short, 0.0)
+                x_q = jnp.clip(jnp.round(y), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+        outputs.append(x_q.astype(jnp.float32) * qtree[f"layer{stage + 1}_{blocks - 1}"]["out_scale"])
+
+    return tuple(o.astype(compute_dtype) for o in outputs[-3:])
