@@ -43,6 +43,7 @@ class Batch(NamedTuple):
     scales: np.ndarray  # f32 [B]
     content_w: np.ndarray  # i32 [B]
     image_ids: List[str]
+    n_valid: int = -1  # real samples in the batch (-1 = all; see pad_last)
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +172,9 @@ class DetectionLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 4,
+        pad_last: bool = False,
+        process_count: Optional[int] = None,
+        process_index: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -180,6 +184,10 @@ class DetectionLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.pad_last = pad_last  # pad final batch to batch_size (one XLA
+        # program for every batch; padding excluded via Batch.n_valid)
+        self.process_count = process_count  # None -> jax.process_count()
+        self.process_index = process_index
         self.epoch = 0
 
     def _indices(self) -> np.ndarray:
@@ -187,11 +195,12 @@ class DetectionLoader:
         idx = np.arange(n)
         if self.shuffle:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
-        # shard across processes (TPU-native DistributedSampler)
-        pc, pi = jax.process_count(), jax.process_index()
+        # shard across processes (TPU-native DistributedSampler); strided so
+        # no sample is ever dropped (counts differ by at most 1 per process)
+        pc = self.process_count if self.process_count is not None else jax.process_count()
+        pi = self.process_index if self.process_index is not None else jax.process_index()
         if pc > 1:
-            per = n // pc
-            idx = idx[pi * per : (pi + 1) * per]
+            idx = idx[pi::pc]
         return idx
 
     def __len__(self) -> int:
@@ -199,6 +208,9 @@ class DetectionLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_from_samples(self, samples) -> "Batch":
+        n_real = len(samples)
+        if self.pad_last and n_real < self.batch_size:
+            samples = list(samples) + [samples[-1]] * (self.batch_size - n_real)
         b = len(samples)
         h, w = samples[0].image.shape[:2]
         images = np.zeros((b, h, w, 3), np.uint8)
@@ -216,7 +228,7 @@ class DetectionLoader:
             scales[i] = s.scale
             content_w[i] = s.content_hw[1] or w
             ids.append(s.image_id)
-        return Batch(images, boxes, labels, scales, content_w, ids)
+        return Batch(images, boxes, labels, scales, content_w, ids, n_real)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         from concurrent.futures import ThreadPoolExecutor

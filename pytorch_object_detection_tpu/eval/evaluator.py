@@ -59,33 +59,75 @@ def make_eval_pipeline(
 
 def _run_pipeline(pipeline, params, batch_stats, images, mesh=None):
     """Run the jitted pipeline, optionally with the batch sharded over the
-    mesh's data axis (last partial batches fall back to single-device)."""
+    mesh's data axis (the loader pads the last batch, so every batch shards
+    evenly and there is exactly one compiled program)."""
     x = jnp.asarray(images)
     if mesh is not None:
         from pytorch_object_detection_tpu.parallel.mesh import batch_sharding
 
-        n_data = mesh.shape["data"]
-        if x.shape[0] % n_data == 0:
-            import jax as _jax
-
-            with mesh:
-                x = _jax.device_put(x, batch_sharding(mesh))
-                return pipeline(params, batch_stats, x)
+        assert x.shape[0] % mesh.shape["data"] == 0, (
+            f"batch {x.shape[0]} not divisible by data-mesh size {mesh.shape['data']}"
+        )
+        with mesh:
+            x = jax.device_put(x, batch_sharding(mesh))
+            return pipeline(params, batch_stats, x)
     return pipeline(params, batch_stats, x)
 
 
-def _collect(det, scales, max_out: int = 300):
-    """Fetch detections to host, unscale, and trim to valid entries."""
+def _collect(det, scales, n_valid: int = -1):
+    """Fetch detections to host, unscale, and trim to valid entries.
+
+    All ``max_detections`` NMS survivors are kept (the reference carries up
+    to 1000 through NMS, test.py:172-174 — no extra cap here).  ``n_valid``
+    trims loader padding rows.
+    """
     scores = np.asarray(det.scores)
     classes = np.asarray(det.classes)
     boxes = np.asarray(det.boxes)
     valid = np.asarray(det.valid)
+    n = scores.shape[0] if n_valid < 0 else n_valid
     out = []
-    for i in range(scores.shape[0]):
+    for i in range(n):
         keep = valid[i]
-        b = boxes[i][keep] / scales[i]
-        out.append((b[:max_out], classes[i][keep][:max_out], scores[i][keep][:max_out]))
+        out.append((boxes[i][keep] / scales[i], classes[i][keep], scores[i][keep]))
     return out
+
+
+def collect_voc_predictions(
+    pipeline,
+    params,
+    batch_stats,
+    dataset,
+    batch_size: int = 16,
+    num_workers: int = 8,
+    mesh=None,
+    process_count: Optional[int] = None,
+    process_index: Optional[int] = None,
+):
+    """Run the eval pipeline over this process's dataset shard.
+
+    Returns per-image lists (gt_boxes, gt_labels, pred_boxes, pred_labels,
+    pred_scores, image_ids) in original-image coordinates.  Multi-host eval
+    = each process collects its shard, the union of the lists across
+    processes covers every image exactly once (tested in
+    tests/test_end_to_end.py::test_sharded_eval_union_matches_single).
+    """
+    loader = DetectionLoader(
+        dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers,
+        pad_last=True, process_count=process_count, process_index=process_index,
+    )
+    gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, ids = [], [], [], [], [], []
+    for batch in loader:
+        det = _run_pipeline(pipeline, params, batch_stats, batch.images, mesh)
+        for i, (b, c, s) in enumerate(_collect(det, batch.scales, batch.n_valid)):
+            gt_valid = batch.labels[i] > 0
+            gt_boxes.append(batch.boxes[i][gt_valid] / batch.scales[i])
+            gt_labels.append(batch.labels[i][gt_valid])
+            pred_boxes.append(b)
+            pred_labels.append(c)
+            pred_scores.append(s)
+            ids.append(batch.image_ids[i])
+    return gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, ids
 
 
 def evaluate_voc(
@@ -103,33 +145,25 @@ def evaluate_voc(
     score_threshold: float = 0.05,
     nms_iou: float = 0.6,
     max_detections: int = 1000,
+    process_count: Optional[int] = None,
+    process_index: Optional[int] = None,
 ) -> Dict:
     """Full VOC eval: per-class AP@0.5, mAP, images/sec (reference test.py).
 
     Pass a Mesh to shard each eval batch over the 'data' axis (params stay
     replicated; batch_size must divide by the mesh's data size).
+    process_count/index override the loader's multi-host shard (testing).
     """
     canvas_hw = dataset.canvas_hw
     pipeline = make_eval_pipeline(
         model, strides, canvas_hw, score_threshold, nms_iou, max_detections
     )
-    loader = DetectionLoader(
-        dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers
-    )
-
-    gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores = [], [], [], [], []
-    n_images = 0
     t0 = time.perf_counter()
-    for batch in loader:
-        det = _run_pipeline(pipeline, params, batch_stats, batch.images, mesh)
-        for i, (b, c, s) in enumerate(_collect(det, batch.scales)):
-            gt_valid = batch.labels[i] > 0
-            gt_boxes.append(batch.boxes[i][gt_valid] / batch.scales[i])
-            gt_labels.append(batch.labels[i][gt_valid])
-            pred_boxes.append(b)
-            pred_labels.append(c)
-            pred_scores.append(s)
-        n_images += len(batch.images)
+    gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, _ids = collect_voc_predictions(
+        pipeline, params, batch_stats, dataset, batch_size, num_workers,
+        mesh=mesh, process_count=process_count, process_index=process_index,
+    )
+    n_images = len(gt_boxes)
     elapsed = time.perf_counter() - t0
 
     aps = eval_voc_ap(
@@ -164,6 +198,8 @@ def evaluate_coco(
     score_threshold: float = 0.05,
     nms_iou: float = 0.6,
     max_detections: int = 1000,
+    process_count: Optional[int] = None,
+    process_index: Optional[int] = None,
 ) -> Dict:
     """COCO-protocol eval; optionally dumps a results JSON
     (xyxy -> xywh, original coords — reference Test_coco.py:144-177)."""
@@ -175,7 +211,8 @@ def evaluate_coco(
         model, strides, canvas_hw, score_threshold, nms_iou, max_detections
     )
     loader = DetectionLoader(
-        dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers
+        dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers,
+        pad_last=True, process_count=process_count, process_index=process_index,
     )
     evaluator = COCOEvaluator(num_classes)
     json_records = []
@@ -183,7 +220,7 @@ def evaluate_coco(
     t0 = time.perf_counter()
     for batch in loader:
         det = _run_pipeline(pipeline, params, batch_stats, batch.images, mesh)
-        collected = _collect(det, batch.scales)
+        collected = _collect(det, batch.scales, batch.n_valid)
         for i, (b, c, s) in enumerate(collected):
             image_id = int(batch.image_ids[i])
             gt_valid = batch.labels[i] > 0
@@ -204,7 +241,7 @@ def evaluate_coco(
                             "score": float(score),
                         }
                     )
-        n_images += len(batch.images)
+        n_images += batch.n_valid
     elapsed = time.perf_counter() - t0
 
     if results_json is not None:

@@ -11,7 +11,9 @@ Param count without the classifier head: 23,508,032 — matches the
 reference's recorded summary (resnet50.py:44-48); asserted in tests.
 
 Pretrained torchvision weights load through
-:mod:`..train.torch_convert`; with `frozen_stages=1` (reference
+:func:`..train.checkpoints.torchvision_resnet50_to_pytree` (forward parity
+vs a functional torch oracle tested in tests/test_torch_parity.py); with
+`frozen_stages=1` (reference
 freeze_stages) the stem + stage1 params are masked out of the optimizer,
 and all BatchNorms run off stored statistics when the model is built with
 ``freeze_bn=True`` (the reference's only trained configuration).

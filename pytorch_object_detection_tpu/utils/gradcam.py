@@ -22,14 +22,19 @@ def gradcam_fcos(model, variables, images: jnp.ndarray, level: int = 0) -> np.nd
     activation, where w = GAP of d(score)/dA and score = max class logit over
     all locations of ``level``.
     """
-    from pytorch_object_detection_tpu.nn.resnet import ResNet50
-
-    backbone = ResNet50()
     bb_vars = {
         "params": variables["params"]["backbone"],
         "batch_stats": variables.get("batch_stats", {}).get("backbone", {}),
     }
-    feats = backbone.apply(bb_vars, images, False)
+    if getattr(model, "backbone", "resnet50") == "efficientnet-b0":
+        from pytorch_object_detection_tpu.nn.efficientnet import EfficientNet
+
+        feats = EfficientNet.b0().apply(bb_vars, images, False)[-3:]
+    else:
+        from pytorch_object_detection_tpu.nn.resnet import ResNet50
+
+        backbone = ResNet50(stem_mode=getattr(model, "stem_mode", "conv7"))
+        feats = backbone.apply(bb_vars, images, False)
 
     fpn_mod, head_mod = _fpn_head_for(model)
     stats = variables.get("batch_stats", {})

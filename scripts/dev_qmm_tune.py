@@ -50,10 +50,15 @@ def main():
                 if tn > N or (tm * tn * 4 + tm * K + K * tn + (tm * tn if has_res else 0)) > 12 * 2**20:
                     continue
                 try:
-                    f = jax.jit(lambda x, w, a, b, r=res, tm=tm, tn=tn: qmatmul(
-                        x, w, a, b, relu=True, res=r, res_scale=0.5 if has_res else None,
-                        tile_m=tm, tile_n=tn))
-                    t = timeit(f, x, w, a, b)
+                    if has_res:
+                        f = jax.jit(lambda x, w, a, b, r, tm=tm, tn=tn: qmatmul(
+                            x, w, a, b, relu=True, res=r, res_scale=0.5,
+                            tile_m=tm, tile_n=tn))
+                        t = timeit(f, x, w, a, b, res)
+                    else:
+                        f = jax.jit(lambda x, w, a, b, tm=tm, tn=tn: qmatmul(
+                            x, w, a, b, relu=True, tile_m=tm, tile_n=tn))
+                        t = timeit(f, x, w, a, b)
                     print(f"  tm={tm:5d} tn={tn:3d}: {t:6.3f} ms  ({floor/t*100:4.0f}% of BW floor)")
                 except Exception as e:
                     print(f"  tm={tm:5d} tn={tn:3d}: FAIL {type(e).__name__} {str(e)[:80]}")

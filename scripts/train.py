@@ -161,6 +161,7 @@ def main():
     step_count = int(state.step)
     t0 = time.perf_counter()
     done = False
+    prev_total = None
     best_map = -1.0
 
     # preemption handling: SIGTERM/SIGINT checkpoint-and-exit (the reference's
@@ -188,9 +189,16 @@ def main():
                 lbls = jnp.asarray(labels)
             state, metrics = train_step(state, imgs, bxs, lbls)
             step_count += 1
+            # NaN guard every step, pipelined one step behind: fetch the
+            # PREVIOUS step's total while this one runs (no device stall).
+            if prev_total is not None and not np.isfinite(float(prev_total)):
+                print(f"NON-FINITE loss at step {step_count - 1} — stopping", flush=True)
+                done = True
+                break
+            prev_total = metrics["total"]
             if step_count % args.log_every == 0:
                 m = {k2: float(v) for k2, v in metrics.items()}
-                if not np.isfinite(m["total"]):  # NaN guard: stop, keep last good ckpt
+                if not np.isfinite(m["total"]):  # same-step check at log points
                     print(f"NON-FINITE loss at step {step_count}: {m} — stopping", flush=True)
                     done = True
                     break

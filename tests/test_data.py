@@ -66,7 +66,8 @@ def test_loader_static_shapes(tmp_path):
     loader = DetectionLoader(ds, batch_size=2, max_boxes=16, num_workers=2, drop_last=False)
     batches = list(loader)
     assert len(batches) == 2
-    images, boxes, labels, scales, content_w, image_ids = batches[0]
+    images, boxes, labels, scales, content_w, image_ids, n_valid = batches[0]
+    assert n_valid == 2
     assert set(image_ids) <= {"img000", "img001", "img002"}  # loader shuffles
     assert images.shape == (2, 256, 256, 3) and images.dtype == np.uint8
     assert boxes.shape == (2, 16, 4)
@@ -126,3 +127,38 @@ def test_random_crop_keeps_boxes(tmp_path):
     out_img, out_boxes = random_crop(img, boxes, rng, remain_min=0.7)
     area = (out_boxes[0, 2] - out_boxes[0, 0]) * (out_boxes[0, 3] - out_boxes[0, 1])
     assert area >= 0.5 * 80 * 80  # box substantially retained
+
+
+def test_process_sharding_covers_all_samples_exactly_once(tmp_path):
+    """Strided multi-host sharding: no drops, no dupes (VERDICT r1 weak #5)."""
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root, n=5)  # 5 % 2 != 0: the old `n // pc` shard dropped one
+    from pytorch_object_detection_tpu.data.voc import VOCDataset
+
+    ds = VOCDataset(root, "trainval", canvas_hw=(128, 128))
+    seen = []
+    for pi in range(2):
+        loader = DetectionLoader(
+            ds, batch_size=2, max_boxes=8, shuffle=False, drop_last=False,
+            num_workers=2, process_count=2, process_index=pi,
+        )
+        for b in loader:
+            seen.extend(b.image_ids[: b.n_valid])
+    assert sorted(seen) == sorted(f"img{i:03d}" for i in range(5))
+
+
+def test_pad_last_pads_batch_and_reports_n_valid(tmp_path):
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root, n=3)
+    from pytorch_object_detection_tpu.data.voc import VOCDataset
+
+    ds = VOCDataset(root, "trainval", canvas_hw=(128, 128))
+    loader = DetectionLoader(
+        ds, batch_size=2, max_boxes=8, shuffle=False, drop_last=False,
+        num_workers=2, pad_last=True,
+    )
+    batches = list(loader)
+    assert [b.images.shape[0] for b in batches] == [2, 2]  # static shape kept
+    assert [b.n_valid for b in batches] == [2, 1]
+    # padding row duplicates the last real sample
+    np.testing.assert_array_equal(batches[1].images[1], batches[1].images[0])
