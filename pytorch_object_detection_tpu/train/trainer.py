@@ -222,6 +222,92 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_shard_map_train_step(
+    model,
+    level_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    limit_ranges: Sequence[Tuple[float, float]],
+    mesh,
+    reg_mode: str = "giou",
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    bn_train: bool = False,
+    cnt_mode: str = "bce",
+):
+    """Explicit-SPMD train step via `jax.shard_map` + manual collectives.
+
+    Semantics match the reference's DDP exactly (`train.py:101-103,184-190`):
+    each replica computes its shard's loss normalized by its LOCAL positive
+    count, gradients are averaged with an explicit pmean (DDP all-reduce),
+    metrics are pmean'd (the all_gather + host-mean of per-rank losses), and
+    with ``bn_train=True`` updated BN statistics are cross-replica averaged
+    (SyncBatchNorm, train.py:103) via parallel/collectives.sync_batch_stats.
+
+    The jit+NamedSharding step (make_train_step) instead normalizes by the
+    GLOBAL positive count — a deliberate improvement; this variant exists
+    for bit-level DDP parity and as the explicit-collective seam.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from pytorch_object_detection_tpu.parallel.collectives import (
+        pmean_grads,
+        pmean_metrics,
+        sync_batch_stats,
+    )
+    from pytorch_object_detection_tpu.parallel.mesh import DATA_AXIS
+
+    def sync_stats_tree(stats):
+        def walk(node):
+            if isinstance(node, dict) and "mean" in node and "var" in node:
+                m, v = sync_batch_stats(node["mean"], node["var"], DATA_AXIS)
+                return {**node, "mean": m, "var": v}
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            return node
+
+        return walk(stats)
+
+    def per_shard(state: TrainState, images, boxes, labels):
+        def loss_fn(params):
+            apply_vars = {"params": _cast_tree(params, compute_dtype)}
+            if state.batch_stats:
+                apply_vars["batch_stats"] = _cast_tree(state.batch_stats, compute_dtype)
+            mutable = ["batch_stats"] if bn_train else False
+            out = model.apply(apply_vars, images.astype(compute_dtype), True, mutable=mutable)
+            if bn_train:
+                (cls_l, cnt_l, reg_l), updates = out
+                new_stats = _cast_tree(updates["batch_stats"], jnp.float32)
+            else:
+                cls_l, cnt_l, reg_l = out
+                new_stats = None
+            cls_p = flatten_level_preds([c.astype(jnp.float32) for c in cls_l])
+            cnt_p = flatten_level_preds([c.astype(jnp.float32) for c in cnt_l])
+            reg_p = flatten_level_preds([r.astype(jnp.float32) for r in reg_l])
+            tgt = generate_targets(level_shapes, strides, limit_ranges, boxes, labels)
+            losses = fcos_loss(
+                cls_p, cnt_p, reg_p, tgt.cls, tgt.cnt, tgt.reg, reg_mode, cnt_mode
+            )
+            return losses["total"], (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = pmean_grads(_cast_tree(grads, jnp.float32))  # DDP all-reduce
+        if new_stats is not None:
+            new_stats = sync_stats_tree(new_stats)  # SyncBatchNorm
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        metrics = pmean_metrics(losses)  # rank-mean of per-rank losses
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_anchor_train_step(
     model,
     anchors,

