@@ -193,3 +193,51 @@ def retinanet_loss(
     reg_elem = jnp.sum(smooth_l1(loc_preds - loc_targets), axis=-1)
     reg_loss = jnp.mean(jnp.sum(jnp.where(pos, reg_elem, 0.0), axis=1) / num_pos)
     return {"cls": cls_loss, "reg": reg_loss, "total": cls_loss + reg_loss}
+
+
+def multibox_loss(
+    cls_logits: jnp.ndarray,
+    loc_preds: jnp.ndarray,
+    cls_targets: jnp.ndarray,
+    loc_targets: jnp.ndarray,
+    neg_pos_ratio: float = 3.0,
+) -> Dict[str, jnp.ndarray]:
+    """SSD MultiBox loss: softmax CE with 3:1 hard-negative mining +
+    smooth-L1 (beta=1) on positives, both normalized by positive count.
+
+    The capability the reference's never-run SSD scaffold implies
+    (`/root/reference/model/od/ssd.py:29-138` + anchor codec
+    `utill/utills.py:100-255`).  cls_logits ``[B, N, 1+C]`` with background
+    class 0; cls_targets from :func:`encode_targets` with
+    ``pos_iou == neg_iou`` (no ignore band).
+
+    Mining is the canonical fixed-shape double-argsort rank trick: every
+    negative anchor's CE is ranked per image and only the top
+    ``neg_pos_ratio * num_pos`` ranks contribute — no dynamic shapes, so the
+    whole loss jits onto the TPU.
+    """
+    import jax
+
+    pos = cls_targets > 0  # [B, N]
+    neg = cls_targets == 0
+    num_pos = jnp.sum(pos, axis=1)  # [B]
+    denom = jnp.maximum(num_pos, 1).astype(jnp.float32)
+
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    tgt = jnp.clip(cls_targets, 0, cls_logits.shape[-1] - 1)
+    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]  # [B, N]
+
+    # hard-negative mining: rank negatives by CE (desc), keep top 3*num_pos
+    neg_ce = jnp.where(neg, ce, -jnp.inf)
+    order = jnp.argsort(-neg_ce, axis=1)
+    rank = jnp.argsort(order, axis=1)  # rank[i] = position of anchor i in sort
+    num_neg = jnp.minimum(
+        (neg_pos_ratio * num_pos.astype(jnp.float32)).astype(jnp.int32),
+        jnp.sum(neg, axis=1),
+    )
+    keep_neg = neg & (rank < num_neg[:, None])
+
+    cls_loss = jnp.mean(jnp.sum(jnp.where(pos | keep_neg, ce, 0.0), axis=1) / denom)
+    reg_elem = jnp.sum(smooth_l1(loc_preds - loc_targets, beta=1.0), axis=-1)
+    reg_loss = jnp.mean(jnp.sum(jnp.where(pos, reg_elem, 0.0), axis=1) / denom)
+    return {"cls": cls_loss, "reg": reg_loss, "total": cls_loss + reg_loss}

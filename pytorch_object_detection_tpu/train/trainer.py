@@ -316,15 +316,26 @@ def make_anchor_train_step(
     pos_iou: float = 0.5,
     neg_iou: float = 0.4,
     donate: bool = True,
+    loss: str = "focal",
 ):
     """Fused train step for anchor-based detectors (RetinaNet/SSD layout).
 
-    The reference ships RetinaNet without any training path (SURVEY §2.6
-    'scaffold only'); this completes it: anchor target encoding (0.5/0.4
-    with ignore band) + focal/smooth-L1 loss + optimizer update in one jit.
+    The reference ships RetinaNet and SSD without any training path
+    (SURVEY §2.6 'scaffold only'); this completes both:
+
+      * ``loss='focal'`` — RetinaNet: 0.5/0.4 matching with ignore band,
+        sigmoid focal + smooth-L1(1/9).
+      * ``loss='multibox'`` — SSD: 0.5/0.5 matching (pass
+        ``neg_iou=pos_iou``), softmax CE with 3:1 hard-negative mining +
+        smooth-L1(1); cls logits ``[B,N,1+C]`` with background class 0.
+
     Model must return ``(loc_preds [B,N,4], cls_logits [B,N,C])``.
     """
-    from pytorch_object_detection_tpu.ops.anchors import encode_targets, retinanet_loss
+    from pytorch_object_detection_tpu.ops.anchors import (
+        encode_targets,
+        multibox_loss,
+        retinanet_loss,
+    )
 
     def step_fn(state: TrainState, images, boxes, labels):
         def loss_fn(params):
@@ -333,9 +344,14 @@ def make_anchor_train_step(
                 apply_vars["batch_stats"] = _cast_tree(state.batch_stats, compute_dtype)
             loc, cls = model.apply(apply_vars, images.astype(compute_dtype), True)
             loc_t, cls_t = encode_targets(anchors, boxes, labels, pos_iou, neg_iou)
-            losses = retinanet_loss(
-                cls.astype(jnp.float32), loc.astype(jnp.float32), cls_t, loc_t, num_classes
-            )
+            if loss == "multibox":
+                losses = multibox_loss(
+                    cls.astype(jnp.float32), loc.astype(jnp.float32), cls_t, loc_t
+                )
+            else:
+                losses = retinanet_loss(
+                    cls.astype(jnp.float32), loc.astype(jnp.float32), cls_t, loc_t, num_classes
+                )
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
