@@ -152,13 +152,19 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
 
     backend='xla': plain XLA int8 convs (requant epilogues materialize the
     int32 accumulator in HBM — correct but bandwidth-bound).
-    backend='pallas': fused Pallas kernels (ops/pallas_qconv) — epilogues
-    (incl. the residual add) run in VMEM, HBM sees int8 only.  The three
-    strided 3x3 convs and the stem stay on XLA.
+    backend='pallas': per-conv fused Pallas kernels (ops/pallas_qconv) —
+    epilogues (incl. the residual add) run in VMEM, HBM sees int8 only.
+    backend='pallas_block': whole-bottleneck fusion (ops/pallas_qblock) for
+    every stride-1 block — the block input is read once and the output
+    written once; a1/a2/accumulators never leave VMEM.  Strided blocks use
+    the per-conv kernels.  The stem stays on XLA in all modes.
     """
-    pallas = backend == "pallas"
+    pallas = backend in ("pallas", "pallas_block")
+    fuse_blocks = backend == "pallas_block"
     if pallas:
         from pytorch_object_detection_tpu.ops.pallas_qconv import qconv1x1, qconv3x3
+    if fuse_blocks:
+        from pytorch_object_detection_tpu.ops.pallas_qblock import qbottleneck
 
     stem = qtree["stem"]
     mult, shift = _fold_bn(*stem["bn"])
@@ -174,7 +180,18 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         for b in range(blocks):
             blk = qtree[f"layer{stage + 1}_{b}"]
             stride = 2 if (b == 0 and stage > 0) else 1
-            if pallas:
+            if fuse_blocks and stride == 1:
+                kw = dict(
+                    wd=blk["wd"].reshape(blk["wd"].shape[-2:]), ad=blk["Ad"], bd=blk["Bd"],
+                ) if "wd" in blk else dict(short_mul=blk["short_mul"])
+                cw = blk["w1"].shape[-1]
+                x_q = qbottleneck(
+                    x_q,
+                    blk["w1"].reshape(-1, cw), blk["w2"], blk["w3"].reshape(cw, -1),
+                    blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["A3"], blk["B3"],
+                    **kw,
+                )
+            elif pallas:
                 a1 = qconv1x1(x_q, blk["w1"], blk["A1"], blk["B1"])
                 if stride == 1:
                     a2 = qconv3x3(a1, blk["w2"], blk["A2"], blk["B2"])

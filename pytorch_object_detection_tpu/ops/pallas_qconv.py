@@ -62,7 +62,7 @@ def _qmm_res_kernel(x_ref, w_ref, a_ref, b_ref, res_ref, rs_ref, out_ref, *, rel
 
 
 def qmatmul(x, w, a, b, *, relu=True, res=None, res_scale=None,
-            tile_m: int = 512, tile_n: int = 256, interpret: bool = False):
+            tile_m: int = 2048, tile_n: int = 256, interpret: bool = False):
     """int8 [M,K] x [K,N] -> int8 [M,N] with fused requant epilogue.
 
     a, b: f32[N] per-channel epilogue (see module docstring).

@@ -362,6 +362,64 @@ def make_anchor_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16):
+    """PTQ the ResNet-50 backbone of a FCOS-family detector.
+
+    Calibrates activation scales on ``calib_images`` (a representative
+    batch) and returns the int8 qtree for :func:`make_eval_forward_int8`.
+    """
+    from pytorch_object_detection_tpu.nn.resnet_int8 import (
+        calibrate_resnet50,
+        quantize_resnet50,
+    )
+
+    bb_vars = {
+        "params": variables["params"]["backbone"],
+        "batch_stats": variables["batch_stats"]["backbone"],
+    }
+    taps = jax.jit(functools.partial(calibrate_resnet50, compute_dtype=compute_dtype))(
+        bb_vars, calib_images
+    )
+    taps = {k: float(v) for k, v in taps.items()}
+    return jax.jit(quantize_resnet50)(bb_vars, taps)
+
+
+def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
+                           backend: str = "pallas"):
+    """Inference forward with an int8-PTQ backbone (serving dtype ladder:
+    int8 MXU convs for the ResNet-50, bf16 FPN + head).
+
+    Returned fn: ``(qtree, params, batch_stats, images) -> per-level fp32
+    (cls, cnt, reg)`` — drop-in for :func:`make_eval_forward`'s output
+    contract.  Requires a resnet50-backbone FCOS-family model.
+    """
+    from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
+    from pytorch_object_detection_tpu.utils.gradcam import _fpn_head_for
+
+    assert getattr(model, "backbone", "resnet50") == "resnet50", (
+        "int8 PTQ path currently supports the ResNet-50 backbone"
+    )
+    fpn_mod, head_mod = _fpn_head_for(model)
+
+    def fwd(qtree, params, batch_stats, images):
+        feats = resnet50_int8_forward(qtree, images, compute_dtype, backend=backend)
+        fpn_vars = {"params": _cast_tree(params["fpn"], compute_dtype)}
+        if batch_stats and "fpn" in batch_stats:
+            fpn_vars["batch_stats"] = _cast_tree(batch_stats["fpn"], compute_dtype)
+        levels = fpn_mod.apply(fpn_vars, feats, False)
+        head_vars = {"params": _cast_tree(params["head"], compute_dtype)}
+        if batch_stats and "head" in batch_stats:
+            head_vars["batch_stats"] = _cast_tree(batch_stats["head"], compute_dtype)
+        try:
+            cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)
+        except TypeError:
+            cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels, False)
+        f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
+        return f32(cls_l), f32(cnt_l), f32(reg_l)
+
+    return fwd
+
+
 def make_eval_forward(model, compute_dtype: jnp.dtype = jnp.bfloat16):
     """Jitted inference forward returning per-level fp32 outputs."""
 

@@ -1,0 +1,166 @@
+"""int8 PTQ stack tests: primitives, Pallas kernels (interpret mode), and
+end-to-end backbone numerics vs the float model on the CPU backend."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_object_detection_tpu.ops.quant import (
+    act_scale,
+    quantize_act,
+    weight_qparams,
+)
+
+
+def test_weight_qparams_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32))
+    wq, scale = weight_qparams(w)
+    assert wq.dtype == jnp.int8 and scale.shape == (32,)
+    deq = wq.astype(jnp.float32) * scale
+    # max quantization error is half a step per channel
+    err = jnp.max(jnp.abs(deq - w), axis=(0, 1, 2))
+    assert float(jnp.max(err / scale)) <= 0.5 + 1e-3
+
+
+def test_quantize_act_clips_and_rounds():
+    s = act_scale(10.0)  # scale for absmax 10
+    x = jnp.array([-20.0, -10.0, 0.04, 10.0, 20.0])
+    q = quantize_act(x, s)
+    np.testing.assert_array_equal(np.asarray(q), [-127, -127, 1, 127, 127])
+
+
+def _rand_qblock(rng, cin, cw, cout):
+    w1 = jnp.asarray(rng.randint(-16, 16, (cin, cw)).astype(np.int8))
+    w2 = jnp.asarray(rng.randint(-8, 8, (3, 3, cw, cw)).astype(np.int8))
+    w3 = jnp.asarray(rng.randint(-16, 16, (cw, cout)).astype(np.int8))
+    def vec(n, s=1e-3):
+        return jnp.asarray(np.abs(rng.randn(n)).astype(np.float32) * s)
+    return w1, w2, w3, vec(cw), vec(cw, 0.1), vec(cw), vec(cw, 0.1), vec(cout), vec(cout, 0.1)
+
+
+def _ref_block(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, short):
+    def conv1x1(v, w):
+        return jax.lax.conv_general_dilated(
+            v, w[None, None], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.int32)
+    def rq(y):
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    A1 = rq(jnp.maximum(conv1x1(x, w1).astype(jnp.float32) * a1 + b1, 0))
+    acc2 = jax.lax.conv_general_dilated(
+        A1, w2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    A2 = rq(jnp.maximum(acc2 * a2 + b2, 0))
+    y = conv1x1(A2, w3).astype(jnp.float32) * a3 + b3 + short
+    return rq(jnp.maximum(y, 0))
+
+
+def test_qbottleneck_interpret_exact_identity_and_projection():
+    """Fused whole-block kernel bit-matches the per-op int8 reference."""
+    from pytorch_object_detection_tpu.ops.pallas_qblock import qbottleneck
+
+    rng = np.random.RandomState(1)
+    B, H, W, Cin, Cw = 2, 16, 16, 32, 16
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, Cin)).astype(np.int8))
+    w1, w2, w3, a1, b1, a2, b2, a3, b3 = _rand_qblock(rng, Cin, Cw, Cin)
+
+    out = qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                      short_mul=0.5, row_chunk=8, interpret=True)
+    want = _ref_block(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                      x.astype(jnp.float32) * 0.5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    wd = jnp.asarray(rng.randint(-16, 16, (Cin, Cin)).astype(np.int8))
+    ad = jnp.asarray(np.abs(rng.randn(Cin)).astype(np.float32) * 1e-3)
+    bd = jnp.asarray(rng.randn(Cin).astype(np.float32) * 0.1)
+    short = jax.lax.conv_general_dilated(
+        x, wd[None, None], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * ad + bd
+    out2 = qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                       wd=wd, ad=ad, bd=bd, row_chunk=8, interpret=True)
+    want2 = _ref_block(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, short)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(want2))
+
+
+def test_qmatmul_interpret_matches_reference():
+    from pytorch_object_detection_tpu.ops.pallas_qconv import qmatmul
+
+    rng = np.random.RandomState(2)
+    M, K, N = 160, 32, 64  # M not a tile multiple: exercises padding
+    x = jnp.asarray(rng.randint(-127, 128, (M, K)).astype(np.int8))
+    w = jnp.asarray(rng.randint(-16, 16, (K, N)).astype(np.int8))
+    a = jnp.asarray(np.abs(rng.randn(N)).astype(np.float32) * 1e-2)
+    b = jnp.asarray(rng.randn(N).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.randint(-127, 128, (M, N)).astype(np.int8))
+
+    acc = (x.astype(jnp.int32) @ w.astype(jnp.int32)).astype(jnp.float32)
+    want = jnp.clip(jnp.round(jnp.maximum(acc * a + b + res.astype(jnp.float32) * 0.25, 0)),
+                    -127, 127).astype(jnp.int8)
+    got = qmatmul(x, w, a, b, relu=True, res=res, res_scale=0.25, tile_m=64,
+                  tile_n=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_qconv3x3_interpret_matches_reference():
+    from pytorch_object_detection_tpu.ops.pallas_qconv import qconv3x3
+
+    rng = np.random.RandomState(3)
+    B, H, W, C = 2, 8, 8, 32
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, C)).astype(np.int8))
+    w = jnp.asarray(rng.randint(-8, 8, (3, 3, C, C)).astype(np.int8))
+    a = jnp.asarray(np.abs(rng.randn(C)).astype(np.float32) * 1e-2)
+    b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    acc = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    want = jnp.clip(jnp.round(jnp.maximum(acc * a + b, 0)), -127, 127).astype(jnp.int8)
+    got = qconv3x3(x, w, a, b, tile_h=4, tile_n=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("backend", ["xla"])
+def test_int8_backbone_close_to_float(backend):
+    """Calibrate + quantize + forward: int8 backbone tracks the float model
+    (cosine > 0.995 per tap on random init)."""
+    from pytorch_object_detection_tpu.nn.resnet import ResNet50
+    from pytorch_object_detection_tpu.nn.resnet_int8 import (
+        calibrate_resnet50,
+        quantize_resnet50,
+        resnet50_int8_forward,
+    )
+
+    model = ResNet50()
+    v = jax.jit(lambda r, x: model.init(r, x, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    calib = {k: float(x) for k, x in jax.jit(calibrate_resnet50)(v, img).items()}
+    qtree = quantize_resnet50(v, calib)
+    out = resnet50_int8_forward(qtree, img, jnp.float32, backend=backend)
+    ref = model.apply(v, img, False)
+    for got, want in zip(out, ref):
+        got = got.astype(jnp.float32)
+        want = want.astype(jnp.float32)
+        cos = float((got * want).sum() / (jnp.linalg.norm(got) * jnp.linalg.norm(want)))
+        assert cos > 0.995, cos
+
+
+def test_quantize_backbone_api_and_int8_eval_forward():
+    """Detector-level PTQ entry points produce decodable level outputs."""
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.train.trainer import (
+        make_eval_forward_int8,
+        quantize_backbone,
+    )
+
+    model = HISFCOS(num_classes=20, features=64)
+    hw = (128, 128)
+    variables = jax.jit(lambda r, x: model.init(r, x, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, *hw, 3))
+    qtree = quantize_backbone(model, variables, images, compute_dtype=jnp.float32)
+    fwd = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla")
+    cls_l, cnt_l, reg_l = jax.jit(fwd)(
+        qtree, variables["params"], variables.get("batch_stats", {}), images)
+    assert len(cls_l) == 5 and cls_l[0].shape == (2, 16, 16, 20)
+    assert all(bool(jnp.isfinite(x).all()) for x in cls_l + cnt_l + reg_l)
