@@ -52,14 +52,14 @@ class FCOSHead(nn.Module):
         cls_tower = [
             (
                 Conv(self.features, 3, use_bias=False, winit="head", name=f"cls_tower{i}"),
-                GroupNorm32(name=f"cls_gn{i}"),
+                GroupNorm32(act="relu", name=f"cls_gn{i}"),
             )
             for i in range(self.num_convs)
         ]
         reg_tower = [
             (
                 Conv(self.features, 3, use_bias=False, winit="head", name=f"reg_tower{i}"),
-                GroupNorm32(name=f"reg_gn{i}"),
+                GroupNorm32(act="relu", name=f"reg_gn{i}"),
             )
             for i in range(self.num_convs)
         ]
@@ -72,10 +72,10 @@ class FCOSHead(nn.Module):
         for i, x in enumerate(levels):
             c = x
             for conv, gn in cls_tower:
-                c = relu(gn(conv(c)))
+                c = gn(conv(c))
             r = x
             for conv, gn in reg_tower:
-                r = relu(gn(conv(r)))
+                r = gn(conv(r))
             cls_out.append(cls_pred(c))
             cnt_out.append(cnt_pred(r))
             reg_out.append(scales[i](reg_pred(r)))
@@ -93,14 +93,14 @@ class HISHead(nn.Module):
     def __call__(self, levels) -> LevelOutputs:
         f = self.features
         pw1 = Conv(2 * f, 1, use_bias=False, name="stem_pw1")
-        gn1 = GroupNorm32(name="stem_gn1")
+        gn1 = GroupNorm32(act="relu", name="stem_gn1")
         dw = DepthwiseConv(3, name="stem_dw")
-        gn2 = GroupNorm32(name="stem_gn2")
+        gn2 = GroupNorm32(act="silu", name="stem_gn2")
         pw2 = Conv(f, 1, use_bias=True, name="stem_pw2")
         cls_conv = Conv(f, 3, use_bias=False, name="cls_tower0")
-        cls_gn = GroupNorm32(name="cls_gn0")
+        cls_gn = GroupNorm32(act="relu", name="cls_gn0")
         reg_conv = Conv(f, 3, use_bias=False, name="reg_tower0")
-        reg_gn = GroupNorm32(name="reg_gn0")
+        reg_gn = GroupNorm32(act="relu", name="reg_gn0")
         cls_pred = Conv(self.num_classes, 3, bias_const=prior_bias(self.prior), name="cls_pred")
         cnt_pred = Conv(1, 3, name="cnt_pred")
         reg_pred = Conv(4, 3, name="reg_pred")
@@ -108,11 +108,11 @@ class HISHead(nn.Module):
 
         cls_out, cnt_out, reg_out = [], [], []
         for i, x in enumerate(levels):
-            y = relu(gn1(pw1(x)))
-            y = silu(gn2(dw(y)))
+            y = gn1(pw1(x))
+            y = gn2(dw(y))
             y = pw2(y) + x  # inverted-bottleneck stem, residual
-            c = relu(cls_gn(cls_conv(y)))
-            r = relu(reg_gn(reg_conv(y)))
+            c = cls_gn(cls_conv(y))
+            r = reg_gn(reg_conv(y))
             cls_out.append(cls_pred(c))
             cnt_out.append(cnt_pred(r))
             reg_out.append(scales[i](reg_pred(r)))
@@ -132,9 +132,9 @@ class MNHead(nn.Module):
         block1 = MNBlock(f, 3, 2, 2, name="block1")
         block2 = MNBlock(f, 3, 2, 2, name="block2")
         cls_conv = Conv(f, 3, use_bias=False, name="cls_tower0")
-        cls_gn = GroupNorm32(name="cls_gn0")
+        cls_gn = GroupNorm32(act="silu", name="cls_gn0")
         reg_conv = Conv(f, 3, use_bias=False, name="reg_tower0")
-        reg_gn = GroupNorm32(name="reg_gn0")
+        reg_gn = GroupNorm32(act="silu", name="reg_gn0")
         cls_pred = Conv(self.num_classes, 1, bias_const=prior_bias(self.prior), name="cls_pred")
         cnt_pred = Conv(1, 1, name="cnt_pred")
         reg_pred = Conv(4, 1, name="reg_pred")
@@ -143,8 +143,8 @@ class MNHead(nn.Module):
         cls_out, cnt_out, reg_out = [], [], []
         for i, x in enumerate(levels):
             y = block2(block1(x, train), train)
-            c = silu(cls_gn(cls_conv(y)))
-            r = silu(reg_gn(reg_conv(y)))
+            c = cls_gn(cls_conv(y))
+            r = reg_gn(reg_conv(y))
             cls_out.append(cls_pred(c))
             cnt_out.append(cnt_pred(r))
             reg_out.append(scales[i](reg_pred(r)))

@@ -159,12 +159,61 @@ class BatchNorm(nn.Module):
         )(x)
 
 
-class GroupNorm32(nn.Module):
-    """GroupNorm with 32 groups (the reference's head/tower norm)."""
+_PALLAS_GN = [False]
+
+
+class pallas_gn:
+    """Context manager: trace GroupNorm32 through the fused Pallas kernel
+    (ops/pallas_gn — one HBM read+write, activation folded).  Inference
+    only: the kernel defines no VJP. Enabled by the int8 eval pipeline."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        self.prev = _PALLAS_GN[0]
+        _PALLAS_GN[0] = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        _PALLAS_GN[0] = self.prev
+        return False
+
+
+class _PallasGN(nn.Module):
+    """Param-compatible with nn.GroupNorm (scope 'gn': scale/bias [C])."""
+
+    act: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        from pytorch_object_detection_tpu.ops.pallas_gn import groupnorm_act
+
+        return groupnorm_act(x, scale, bias, groups=32, eps=1e-5, act=self.act)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with 32 groups (the reference's head/tower norm).
+
+    ``act`` folds the following activation ('relu'/'silu') into the norm —
+    free for XLA (it fuses anyway) and required for the Pallas kernel to
+    keep everything in one pass.
+    """
+
+    act: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        if _PALLAS_GN[0]:
+            return _PallasGN(act=self.act, name="gn")(x)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
+        if self.act == "relu":
+            y = relu(y)
+        elif self.act == "silu":
+            y = silu(y)
+        return y
 
 
 # ---------------------------------------------------------------------------

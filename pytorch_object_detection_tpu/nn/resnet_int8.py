@@ -168,12 +168,21 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
 
     stem = qtree["stem"]
     mult, shift = _fold_bn(*stem["bn"])
-    x = _conv_bn_act(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype), mult, shift, stride=2)
-    x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        [(0, 0), (1, 1), (1, 1), (0, 0)],
-    )
-    x_q = quantize_act(x, qtree["stem_scale"])
+    if pallas:
+        # XLA's 7x7 conv emitter is kept; BN+ReLU+maxpool+quantize fuse into
+        # one Pallas pass (the unfused tail costs ~6.8 ms/iter at B=64)
+        from pytorch_object_detection_tpu.ops.pallas_stem import stem_bn_pool_quant
+
+        x = _conv(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype),
+                  stride=2)
+        x_q = stem_bn_pool_quant(x, mult, shift, qtree["stem_scale"])
+    else:
+        x = _conv_bn_act(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype), mult, shift, stride=2)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
+        x_q = quantize_act(x, qtree["stem_scale"])
 
     outputs = []
     for stage, blocks in enumerate(STAGE_SIZES):

@@ -156,5 +156,8 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
             bytes_accessed=x.size + bsz * h * wdt * cout + w2.size + w1.size + w3.size,
             transcendentals=0,
         ),
+        # stage1 blocks double-buffer 4MB in + 4MB out; v5e has headroom
+        # beyond the 16MB default scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(x, w1, w2, w3, wd, scales)

@@ -401,19 +401,24 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
     )
     fpn_mod, head_mod = _fpn_head_for(model)
 
+    use_pallas_gn = backend in ("pallas", "pallas_block")
+
     def fwd(qtree, params, batch_stats, images):
+        from pytorch_object_detection_tpu.nn.layers import pallas_gn
+
         feats = resnet50_int8_forward(qtree, images, compute_dtype, backend=backend)
         fpn_vars = {"params": _cast_tree(params["fpn"], compute_dtype)}
         if batch_stats and "fpn" in batch_stats:
             fpn_vars["batch_stats"] = _cast_tree(batch_stats["fpn"], compute_dtype)
-        levels = fpn_mod.apply(fpn_vars, feats, False)
         head_vars = {"params": _cast_tree(params["head"], compute_dtype)}
         if batch_stats and "head" in batch_stats:
             head_vars["batch_stats"] = _cast_tree(batch_stats["head"], compute_dtype)
-        try:
-            cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)
-        except TypeError:
-            cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels, False)
+        with pallas_gn(use_pallas_gn):
+            levels = fpn_mod.apply(fpn_vars, feats, False)
+            try:
+                cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)
+            except TypeError:
+                cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels, False)
         f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
         return f32(cls_l), f32(cnt_l), f32(reg_l)
 
