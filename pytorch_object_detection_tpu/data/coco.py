@@ -43,10 +43,17 @@ class COCODataset:
         ]
 
         anns_by_img = defaultdict(list)
+        crowds_by_img = defaultdict(list)
         for a in coco.get("annotations", []):
-            if a.get("iscrowd", 0):
-                continue  # reference filters crowd (coco.py:123-133)
             x, y, w, h = a["bbox"]
+            if a.get("iscrowd", 0):
+                # crowd regions are excluded from training targets (reference
+                # coco.py:123-133) but kept for eval: COCOeval treats them as
+                # ignore regions that absorb detections
+                crowds_by_img[a["image_id"]].append(
+                    (x, y, x + w, y + h, self.cat_to_contig[a["category_id"]])
+                )
+                continue
             if w < min_size or h < min_size:
                 continue
             anns_by_img[a["image_id"]].append((x, y, x + w, y + h, self.cat_to_contig[a["category_id"]]))
@@ -57,6 +64,16 @@ class COCODataset:
                 continue
             self.images.append(img)
         self.anns_by_img = anns_by_img
+        self.crowds_by_img = crowds_by_img
+
+    def eval_crowds(self, image_id) -> Tuple[np.ndarray, np.ndarray]:
+        """Crowd (iscrowd) boxes/labels for one image, original coordinates
+        (xyxy, contiguous labels) — feed to COCOEvaluator as gt_crowd rows."""
+        rows = self.crowds_by_img.get(int(image_id), [])
+        if not rows:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+        arr = np.asarray(rows, np.float32)
+        return arr[:, :4], arr[:, 4].astype(np.int32)
 
     def __len__(self) -> int:
         return len(self.images)

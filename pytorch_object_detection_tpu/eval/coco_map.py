@@ -52,6 +52,7 @@ class COCOEvaluator:
         # per (image, class) storage
         self._gt = defaultdict(list)
         self._gt_ignore = defaultdict(list)
+        self._gt_crowd = defaultdict(list)
         self._det = defaultdict(list)
         self._images = set()
 
@@ -64,17 +65,25 @@ class COCOEvaluator:
         det_labels: np.ndarray,
         det_scores: np.ndarray,
         gt_ignore: Optional[np.ndarray] = None,
+        gt_crowd: Optional[np.ndarray] = None,
     ) -> None:
+        """gt_crowd marks COCO iscrowd regions: always ignore, matched with
+        intersection-over-det-area IoU, and re-matchable by several dets
+        (COCOeval iscrowd semantics)."""
         self._images.add(image_id)
         if gt_ignore is None:
             gt_ignore = np.zeros(len(gt_boxes), bool)
+        if gt_crowd is None:
+            gt_crowd = np.zeros(len(gt_boxes), bool)
+        gt_ignore = np.asarray(gt_ignore, bool) | np.asarray(gt_crowd, bool)
         for c in np.unique(gt_labels) if len(gt_labels) else []:
             sel = gt_labels == c
             self._gt[(image_id, int(c))] = gt_boxes[sel]
             self._gt_ignore[(image_id, int(c))] = gt_ignore[sel]
+            self._gt_crowd[(image_id, int(c))] = np.asarray(gt_crowd, bool)[sel]
         for c in np.unique(det_labels) if len(det_labels) else []:
             sel = det_labels == c
-            order = np.argsort(-det_scores[sel])
+            order = np.argsort(-det_scores[sel], kind="mergesort")  # stable (ties)
             self._det[(image_id, int(c))] = (det_boxes[sel][order], det_scores[sel][order])
 
     # -- matching ----------------------------------------------------------
@@ -82,6 +91,7 @@ class COCOEvaluator:
         """Returns (det_scores, det_matched[T, D], det_ignore[T, D], n_gt)."""
         gt = self._gt.get((image_id, cls), np.zeros((0, 4)))
         gt_ig = self._gt_ignore.get((image_id, cls), np.zeros((0,), bool))
+        gt_crowd = self._gt_crowd.get((image_id, cls), np.zeros((0,), bool))
         det, scores = self._det.get((image_id, cls), (np.zeros((0, 4)), np.zeros((0,))))
         det, scores = det[:max_det], scores[:max_det]
 
@@ -104,10 +114,20 @@ class COCOEvaluator:
             return scores, matched, ignore_det, n_gt
 
         iou = _iou_matrix(det, gt)
+        if gt_crowd.any():
+            # crowd GTs: intersection over det area (COCOeval iscrowd IoU)
+            lt = np.maximum(det[:, None, :2], gt[None, :, :2])
+            rb = np.minimum(det[:, None, 2:], gt[None, :, 2:])
+            wh = np.clip(rb - lt, 0.0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            det_area_m = np.prod(np.clip(det[:, 2:] - det[:, :2], 0, None), axis=-1)
+            crowd_iou = np.where(det_area_m[:, None] > 0, inter / np.maximum(det_area_m[:, None], 1e-12), 0.0)
+            iou = np.where(gt_crowd[None, :], crowd_iou, iou)
         # sort GT: real GTs first, ignored last (COCOeval gtind ordering)
         gt_order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
         iou = iou[:, gt_order]
         gt_ignore_sorted = gt_ignore[gt_order]
+        gt_crowd_sorted = gt_crowd[gt_order]
         det_area = np.prod(np.clip(det[:, 2:] - det[:, :2], 0, None), axis=-1)
         det_out = (det_area < lo) | (det_area > hi)
 
@@ -116,7 +136,8 @@ class COCOEvaluator:
 
             if native_available():
                 m, ig = coco_match_native(
-                    gt[gt_order], gt_ignore_sorted, det, det_out, IOU_THRS.astype(np.float32)
+                    gt[gt_order], gt_ignore_sorted, det, det_out,
+                    IOU_THRS.astype(np.float32), gt_crowd=gt_crowd_sorted,
                 )
                 return scores, m, ig, n_gt
         except Exception:
@@ -127,7 +148,8 @@ class COCOEvaluator:
             for di in range(d):
                 best, best_iou = -1, min(thr, 1 - 1e-10)
                 for gi in range(len(gt)):
-                    if taken[gi] and not gt_ignore_sorted[gi]:
+                    # only crowd GTs are re-matchable (COCOeval keys on iscrowd)
+                    if taken[gi] and not gt_crowd_sorted[gi]:
                         continue
                     # stop probing real GTs once we hold a real match and hit ignores
                     if best > -1 and not gt_ignore_sorted[best] and gt_ignore_sorted[gi]:

@@ -224,12 +224,17 @@ def evaluate_coco(
         for i, (b, c, s) in enumerate(collected):
             image_id = int(batch.image_ids[i])
             gt_valid = batch.labels[i] > 0
-            evaluator.add_image(
-                image_id,
-                batch.boxes[i][gt_valid] / batch.scales[i],
-                batch.labels[i][gt_valid],
-                b, c, s,
-            )
+            gt_b = batch.boxes[i][gt_valid] / batch.scales[i]
+            gt_l = batch.labels[i][gt_valid]
+            crowd_flags = np.zeros(len(gt_l), bool)
+            if hasattr(dataset, "eval_crowds"):
+                # crowd regions: ignore GTs with COCOeval iscrowd semantics
+                cb, cl = dataset.eval_crowds(image_id)
+                if len(cl):
+                    gt_b = np.concatenate([gt_b, cb])
+                    gt_l = np.concatenate([gt_l, cl])
+                    crowd_flags = np.concatenate([crowd_flags, np.ones(len(cl), bool)])
+            evaluator.add_image(image_id, gt_b, gt_l, b, c, s, gt_crowd=crowd_flags)
             if results_json is not None:
                 for box, cls_id, score in zip(b, c, s):
                     x1, y1, x2, y2 = [float(v) for v in box]

@@ -69,15 +69,27 @@ void voc_match(const float* gt_boxes, int n_gt,
 //   matched[t, j] = 1 if det j matched a real GT at threshold t
 //   ignored[t, j] = 1 if det j matched an ignored GT (or is out-of-range
 //                   unmatched — the caller pre-computes det_out)
-void coco_match(const float* gt_boxes, const uint8_t* gt_ignore, int n_gt,
+void coco_match(const float* gt_boxes, const uint8_t* gt_ignore,
+                const uint8_t* gt_crowd, int n_gt,
                 const float* det_boxes, const uint8_t* det_out, int n_det,
                 const float* thresholds, int n_thr,
                 uint8_t* matched, uint8_t* ignored) {
-  // precompute IoU matrix [n_det, n_gt]
+  // precompute IoU matrix [n_det, n_gt]; crowd GTs use
+  // intersection-over-det-area (COCOeval iscrowd semantics)
   std::vector<double> ious(size_t(n_det) * n_gt);
   for (int d = 0; d < n_det; ++d)
-    for (int g = 0; g < n_gt; ++g)
-      ious[size_t(d) * n_gt + g] = iou(det_boxes + 4 * d, gt_boxes + 4 * g);
+    for (int g = 0; g < n_gt; ++g) {
+      const float* db = det_boxes + 4 * d;
+      const float* gb = gt_boxes + 4 * g;
+      if (gt_crowd && gt_crowd[g]) {
+        const double ix = std::max(0.0, double(std::min(db[2], gb[2])) - std::max(db[0], gb[0]));
+        const double iy = std::max(0.0, double(std::min(db[3], gb[3])) - std::max(db[1], gb[1]));
+        const double da = double(db[2] - db[0]) * double(db[3] - db[1]);
+        ious[size_t(d) * n_gt + g] = da > 0 ? ix * iy / da : 0.0;
+      } else {
+        ious[size_t(d) * n_gt + g] = iou(db, gb);
+      }
+    }
 
   std::vector<uint8_t> taken(n_gt);
   for (int t = 0; t < n_thr; ++t) {
@@ -89,9 +101,11 @@ void coco_match(const float* gt_boxes, const uint8_t* gt_ignore, int n_gt,
       *m = 0;
       *ig = 0;
       int best = -1;
-      double best_iou = thr < 1.0 ? thr - 1e-10 : thr;
+      double best_iou = std::min(double(thr), 1.0 - 1e-10);
       for (int g = 0; g < n_gt; ++g) {
-        if (taken[g] && !gt_ignore[g]) continue;
+        // only crowd GTs are re-matchable (COCOeval keys this on iscrowd,
+        // not on the ignore flag)
+        if (taken[g] && !(gt_crowd && gt_crowd[g])) continue;
         // once holding a real match, do not switch to ignored GTs
         if (best > -1 && !gt_ignore[best] && gt_ignore[g]) break;
         const double v = ious[size_t(d) * n_gt + g];
@@ -125,6 +139,6 @@ void nms_cpu(const float* boxes, const uint8_t* valid, int n,
   }
 }
 
-int native_abi_version() { return 1; }
+int native_abi_version() { return 2; }
 
 }  // extern "C"

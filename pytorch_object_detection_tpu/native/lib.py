@@ -38,14 +38,14 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     lib.voc_match.argtypes = [_f32p, ctypes.c_int, _f32p, ctypes.c_int, ctypes.c_float, _u8p]
     lib.coco_match.argtypes = [
-        _f32p, _u8p, ctypes.c_int,
+        _f32p, _u8p, _u8p, ctypes.c_int,
         _f32p, _u8p, ctypes.c_int,
         _f32p, ctypes.c_int,
         _u8p, _u8p,
     ]
     lib.nms_cpu.argtypes = [_f32p, _u8p, ctypes.c_int, ctypes.c_float, _u8p]
     lib.native_abi_version.restype = ctypes.c_int
-    assert lib.native_abi_version() == 1
+    assert lib.native_abi_version() == 2
     _lib = lib
     return _lib
 
@@ -82,10 +82,14 @@ def coco_match_native(
     det_boxes: np.ndarray,
     det_out: np.ndarray,
     thresholds: np.ndarray,
+    gt_crowd: Optional[np.ndarray] = None,
 ):
     lib = _load()
     gt = np.ascontiguousarray(gt_boxes, np.float32)
     gi = np.ascontiguousarray(gt_ignore, np.uint8)
+    if gt_crowd is None:
+        gt_crowd = np.zeros(len(gt), np.uint8)
+    gc = np.ascontiguousarray(gt_crowd, np.uint8)
     det = np.ascontiguousarray(det_boxes, np.float32)
     do = np.ascontiguousarray(det_out, np.uint8)
     thr = np.ascontiguousarray(thresholds, np.float32)
@@ -93,7 +97,7 @@ def coco_match_native(
     matched = np.zeros((t, d), np.uint8)
     ignored = np.zeros((t, d), np.uint8)
     lib.coco_match(
-        _fptr(gt), _u8ptr(gi), len(gt), _fptr(det), _u8ptr(do), d,
+        _fptr(gt), _u8ptr(gi), _u8ptr(gc), len(gt), _fptr(det), _u8ptr(do), d,
         _fptr(thr), t, _u8ptr(matched), _u8ptr(ignored),
     )
     return matched.astype(bool), ignored.astype(bool)

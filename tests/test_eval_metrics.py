@@ -98,3 +98,53 @@ def test_coco_false_positive_hurts():
     ev.add_image(1, gt, np.array([1]), det, np.array([1, 1]), np.array([0.8, 0.9]))
     stats = ev.summarize()
     assert stats["AP50"] < 1.0  # higher-scored FP caps precision at low recall
+
+
+def test_coco_evaluator_matches_independent_oracle():
+    """COCOEvaluator vs a from-scratch loop transcription of the COCOeval
+    protocol (tests/cocoeval_oracle.py) on a hostile randomized fixture:
+    crowds, tiny/huge boxes, exact score ties, >100 dets in one image-class,
+    empty images, categories missing from GT (VERDICT r1 missing #2)."""
+    import numpy as np
+
+    from pytorch_object_detection_tpu.eval.coco_map import COCOEvaluator
+    from tests.cocoeval_oracle import OracleEval
+
+    rng = np.random.RandomState(7)
+    C = 5
+    ev = COCOEvaluator(C)
+    oracle = OracleEval(C)
+
+    def rand_boxes(n, sizes):
+        wh = rng.choice(sizes, (n, 2)) * rng.uniform(0.6, 1.5, (n, 2))
+        xy = rng.uniform(0, 500, (n, 2))
+        return np.concatenate([xy, xy + wh], axis=1).astype(np.float64)
+
+    for img in range(40):
+        n_gt = rng.randint(0, 8)
+        gt = rand_boxes(n_gt, [8, 24, 64, 200])  # tiny..huge areas
+        gl = rng.randint(1, C, n_gt)  # class C never in GT
+        crowd = rng.rand(n_gt) < 0.2
+        n_det = 130 if img == 0 else rng.randint(0, 20)
+        # half the dets are near-GT (real candidates), half random
+        if n_gt and n_det:
+            base = gt[rng.randint(0, n_gt, n_det)]
+            jitter = rng.uniform(-10, 10, (n_det, 4))
+            det = np.where(rng.rand(n_det, 1) < 0.5, base + jitter, rand_boxes(n_det, [8, 64, 200]))
+        else:
+            det = rand_boxes(n_det, [8, 64, 200])
+        dl = rng.randint(1, C + 1, n_det)
+        if img == 0:
+            dl[:] = 1  # all one class: exercises maxDet=100 truncation
+        scores = np.round(rng.rand(n_det), 2)  # 2 decimals -> exact ties
+
+        ev.add_image(img, gt, gl, det, dl, scores, gt_crowd=crowd)
+        oracle.add_image(
+            gt_boxes=gt.tolist(), gt_labels=gl.tolist(), gt_crowd=crowd.tolist(),
+            det_boxes=det.tolist(), det_labels=dl.tolist(), det_scores=scores.tolist(),
+        )
+
+    got = ev.summarize()
+    want = oracle.summarize()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
