@@ -1,10 +1,15 @@
 """End-to-end eval throughput benchmark (the BASELINE headline metric).
 
 Measures sustained images/sec for the full detection production pipeline on
-one chip: HISFCOS forward (bf16) + decode + top-k + NMS, all on device at
-512x512 — the TPU counterpart of the reference's eval timing loop
+one chip at 512x512: HISFCOS forward + decode + top-k + NMS, all on device
+— the TPU counterpart of the reference's eval timing loop
 (test.py:198-223, ~50 FPS at batch 1 on the author's GPU; TPU target
 2,000 img/s/chip).
+
+Serving config (default, PODT_BENCH_MODE=int8): int8-PTQ ResNet-50 backbone
+through the fused Pallas bottleneck kernels (ops/pallas_qblock — one HBM
+read/write per block), bf16 FPN + head.  PODT_BENCH_MODE=bf16 measures the
+plain bf16 path; any failure in the int8 build falls back to bf16.
 
 Timing note: on the axon tunnel `block_until_ready` does not actually wait
 for device completion, so each iteration's completion is forced by fetching
@@ -16,6 +21,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -24,10 +30,14 @@ import jax.numpy as jnp
 BASELINE_IMAGES_PER_SEC = 2000.0  # BASELINE.json target (v5e chip)
 
 
-def main(batch_size: int = 64, iters: int = 20, hw=(512, 512)):
+def build_pipeline(mode: str, hw, batch_size: int):
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
     from pytorch_object_detection_tpu.ops.postprocess import decode_detections
-    from pytorch_object_detection_tpu.train.trainer import make_eval_forward
+    from pytorch_object_detection_tpu.train.trainer import (
+        make_eval_forward,
+        make_eval_forward_int8,
+        quantize_backbone,
+    )
 
     model = HISFCOS(num_classes=20)
     rng = jax.random.PRNGKey(0)
@@ -37,8 +47,24 @@ def main(batch_size: int = 64, iters: int = 20, hw=(512, 512)):
         rng, jnp.zeros((1, *hw, 3), jnp.float32)
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-
     strides = [8, 16, 32, 64, 128]
+    images = jax.random.uniform(jax.random.PRNGKey(1), (batch_size, *hw, 3), jnp.float32)
+
+    if mode == "int8":
+        qtree = quantize_backbone(model, variables, images[:8])
+        fwd = make_eval_forward_int8(model, compute_dtype=jnp.bfloat16)
+
+        @jax.jit
+        def eval_pipeline(qtree, params, batch_stats, images):
+            cls_l, cnt_l, reg_l = fwd(qtree, params, batch_stats, images)
+            det = decode_detections(
+                cls_l, cnt_l, reg_l, strides,
+                score_threshold=0.05, nms_iou=0.6, max_detections=1000, image_hw=hw,
+            )
+            return det.scores.sum() + det.valid.sum()
+
+        return (lambda: eval_pipeline(qtree, params, batch_stats, images)), images
+
     fwd = make_eval_forward(model, compute_dtype=jnp.bfloat16)
 
     @jax.jit
@@ -48,19 +74,30 @@ def main(batch_size: int = 64, iters: int = 20, hw=(512, 512)):
             cls_l, cnt_l, reg_l, strides,
             score_threshold=0.05, nms_iou=0.6, max_detections=1000, image_hw=hw,
         )
-        # scalar checksum forces real device completion when fetched
-        return det, det.scores.sum() + det.valid.sum()
+        return det.scores.sum() + det.valid.sum()
 
-    images = jax.random.uniform(jax.random.PRNGKey(1), (batch_size, *hw, 3), jnp.float32)
+    return (lambda: eval_pipeline(params, batch_stats, images)), images
 
-    # warmup / compile
-    _, chk = eval_pipeline(params, batch_stats, images)
-    float(chk)
+
+def main(batch_size: int = 64, iters: int = 25, hw=(512, 512)):
+    mode = os.environ.get("PODT_BENCH_MODE", "int8")
+    try:
+        run, _ = build_pipeline(mode, hw, batch_size)
+        float(run())  # compile + warm
+    except Exception:
+        if mode == "bf16":
+            raise
+        import traceback
+
+        traceback.print_exc()
+        mode = "bf16"
+        run, _ = build_pipeline(mode, hw, batch_size)
+        float(run())
 
     t0 = time.perf_counter()
     prev_chk = None
     for _ in range(iters):
-        _, chk = eval_pipeline(params, batch_stats, images)
+        chk = run()
         if prev_chk is not None:
             float(prev_chk)  # overlap: wait for batch i-1 while i runs
         prev_chk = chk
@@ -71,7 +108,7 @@ def main(batch_size: int = 64, iters: int = 20, hw=(512, 512)):
     print(
         json.dumps(
             {
-                "metric": "hisfcos_e2e_eval_images_per_sec_512px",
+                "metric": f"hisfcos_e2e_eval_images_per_sec_512px_{mode}",
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),

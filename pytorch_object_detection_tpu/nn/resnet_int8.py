@@ -168,9 +168,10 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
 
     stem = qtree["stem"]
     mult, shift = _fold_bn(*stem["bn"])
-    if pallas:
-        # XLA's 7x7 conv emitter is kept; BN+ReLU+maxpool+quantize fuse into
-        # one Pallas pass (the unfused tail costs ~6.8 ms/iter at B=64)
+    if backend == "pallas_stem_tail":
+        # experimental: measured SLOWER than XLA on v5e (the bf16 pair-reduce
+        # pooling lowers to sub-lane shuffles; 28 ms/iter at B=64 vs 6.8 for
+        # the unfused XLA tail) — kept for re-evaluation, not a default
         from pytorch_object_detection_tpu.ops.pallas_stem import stem_bn_pool_quant
 
         x = _conv(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype),

@@ -385,7 +385,7 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
 
 
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
-                           backend: str = "pallas"):
+                           backend: str = "pallas_block", use_pallas_gn: bool = False):
     """Inference forward with an int8-PTQ backbone (serving dtype ladder:
     int8 MXU convs for the ResNet-50, bf16 FPN + head).
 
@@ -401,7 +401,10 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
     )
     fpn_mod, head_mod = _fpn_head_for(model)
 
-    use_pallas_gn = backend in ("pallas", "pallas_block")
+    # use_pallas_gn default False: the GN kernel wins ~5.5 ms/iter on the
+    # norm passes but XLA inserts layout copies around the custom call
+    # (~6 ms) while the neighbouring convs are XLA's — net negative until
+    # the head convs move into the same kernel (trace-verified).
 
     def fwd(qtree, params, batch_stats, images):
         from pytorch_object_detection_tpu.nn.layers import pallas_gn
