@@ -60,6 +60,7 @@ def build_pipeline(mode: str, hw, batch_size: int):
             det = decode_detections(
                 cls_l, cnt_l, reg_l, strides,
                 score_threshold=0.05, nms_iou=0.6, max_detections=1000, image_hw=hw,
+                nms_impl="pallas",
             )
             return det.scores.sum() + det.valid.sum()
 

@@ -50,12 +50,15 @@ def decode_detections(
     nms_iou: float = 0.6,
     max_detections: int = 1000,
     image_hw: tuple | None = None,
+    nms_impl: str = "fixpoint",
 ) -> Detections:
     """Decode per-level NHWC head outputs into final detections.
 
     cls_levels[i]: ``[B, H_i, W_i, C]`` logits; cnt ``[..., 1]``; reg ``[..., 4]``.
     If ``image_hw`` is given, boxes are clipped to the image (reference
-    ClipBoxes, head.py:152-162).
+    ClipBoxes, head.py:152-162).  ``nms_impl``: 'fixpoint' (XLA while-loop,
+    exact, ~2 ms at B=64/K=1000) or 'pallas' (VMEM kernel, exact, ~0.35 ms;
+    one extra Mosaic compile).
     """
     level_shapes = [p.shape[1:3] for p in cls_levels]
     coords = all_level_coords(level_shapes, strides)  # [N, 2]
@@ -83,5 +86,11 @@ def decode_detections(
 
     valid = top_scores >= score_threshold
 
-    keep = batched_class_nms(top_boxes, top_scores, top_classes, valid, nms_iou)
+    if nms_impl == "pallas":
+        from pytorch_object_detection_tpu.ops.pallas_nms import pallas_batched_class_nms
+
+        keep = pallas_batched_class_nms(top_boxes, top_scores, top_classes, valid, nms_iou)
+        keep = keep & valid
+    else:
+        keep = batched_class_nms(top_boxes, top_scores, top_classes, valid, nms_iou)
     return Detections(top_scores, top_classes, top_boxes, keep)

@@ -385,7 +385,8 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
 
 
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
-                           backend: str = "pallas_block", use_pallas_gn: bool = False):
+                           backend: str = "pallas_block", use_pallas_gn: bool = False,
+                           fused_head: bool = True):
     """Inference forward with an int8-PTQ backbone (serving dtype ladder:
     int8 MXU convs for the ResNet-50, bf16 FPN + head).
 
@@ -418,10 +419,29 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
             head_vars["batch_stats"] = _cast_tree(batch_stats["head"], compute_dtype)
         with pallas_gn(use_pallas_gn):
             levels = fpn_mod.apply(fpn_vars, feats, False)
-            try:
-                cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)
-            except TypeError:
-                cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels, False)
+            from pytorch_object_detection_tpu.models.fcos import HISFCOS
+
+            if fused_head and isinstance(model, HISFCOS) and backend != "xla":
+                # whole-head Pallas kernel: one read/write per level
+                from pytorch_object_detection_tpu.ops.pallas_head import (
+                    hishead_level_fused,
+                    hishead_params_pack,
+                )
+
+                nc = model.num_classes
+                packed = hishead_params_pack(params["head"], nc)
+                cls_l, cnt_l, reg_l = [], [], []
+                for i, lvl in enumerate(levels):
+                    out = hishead_level_fused(lvl.astype(jnp.bfloat16), packed, nc)
+                    s = params["head"][f"scale{i}"]["scale"].astype(jnp.float32)
+                    cls_l.append(out[..., :nc])
+                    cnt_l.append(out[..., nc:nc + 1])
+                    reg_l.append(jnp.exp(out[..., nc + 1:].astype(jnp.float32) * s))
+            else:
+                try:
+                    cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)
+                except TypeError:
+                    cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels, False)
         f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
         return f32(cls_l), f32(cnt_l), f32(reg_l)
 
