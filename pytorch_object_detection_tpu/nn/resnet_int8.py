@@ -164,7 +164,10 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
     if pallas:
         from pytorch_object_detection_tpu.ops.pallas_qconv import qconv1x1, qconv3x3
     if fuse_blocks:
-        from pytorch_object_detection_tpu.ops.pallas_qblock import qbottleneck
+        from pytorch_object_detection_tpu.ops.pallas_qblock import (
+            qbottleneck,
+            qbottleneck_s2,
+        )
 
     stem = qtree["stem"]
     mult, shift = _fold_bn(*stem["bn"])
@@ -190,17 +193,26 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         for b in range(blocks):
             blk = qtree[f"layer{stage + 1}_{b}"]
             stride = 2 if (b == 0 and stage > 0) else 1
-            if fuse_blocks and stride == 1:
-                kw = dict(
-                    wd=blk["wd"].reshape(blk["wd"].shape[-2:]), ad=blk["Ad"], bd=blk["Bd"],
-                ) if "wd" in blk else dict(short_mul=blk["short_mul"])
+            if fuse_blocks:
                 cw = blk["w1"].shape[-1]
-                x_q = qbottleneck(
-                    x_q,
-                    blk["w1"].reshape(-1, cw), blk["w2"], blk["w3"].reshape(cw, -1),
-                    blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["A3"], blk["B3"],
-                    **kw,
+                common = (
+                    x_q, blk["w1"].reshape(-1, cw), blk["w2"], blk["w3"].reshape(cw, -1),
                 )
+                if stride == 1:
+                    kw = dict(
+                        wd=blk["wd"].reshape(blk["wd"].shape[-2:]), ad=blk["Ad"], bd=blk["Bd"],
+                    ) if "wd" in blk else dict(short_mul=blk["short_mul"])
+                    x_q = qbottleneck(
+                        *common,
+                        blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["A3"], blk["B3"],
+                        **kw,
+                    )
+                else:
+                    x_q = qbottleneck_s2(
+                        *common[:4], blk["wd"].reshape(blk["wd"].shape[-2:]),
+                        blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["A3"], blk["B3"],
+                        blk["Ad"], blk["Bd"],
+                    )
             elif pallas:
                 a1 = qconv1x1(x_q, blk["w1"], blk["A1"], blk["B1"])
                 if stride == 1:
