@@ -110,21 +110,25 @@ def _hishead_kernel(x_ref, pw1_ref, dw_ref, pw2_ref, cls_ref, reg_ref,
     mul1, add1 = _gn_vectors(s1, q1, n1, gn_ref[0, :f2], gn_ref[1, :f2], f2)
 
     # ---- depthwise 3x3 on relu(gn1(t1)) + gn2 stats ------------------------
-    dw = dw_ref[:]  # [9, f2] f32 taps
+    # bf16 VPU arithmetic: halves shuffle/copy bytes; the 9-tap bf16
+    # accumulation noise (~0.4%) is below the head's bf16 dot noise anyway
+    dw = dw_ref[:].astype(jnp.bfloat16)  # [9, f2]
+    mul1_b = mul1.astype(jnp.bfloat16)
+    add1_b = add1.astype(jnp.bfloat16)
     s2 = jnp.zeros((1, f2), jnp.float32)
     q2 = jnp.zeros((1, f2), jnp.float32)
     for r0 in range(0, height, row_chunk):
         lo = max(r0 - 1, 0)
         hi = min(r0 + row_chunk + 1, height)
-        band = t1[pl.ds(lo * width, (hi - lo) * width), :].astype(jnp.float32)
-        band = jnp.maximum(band * mul1 + add1, 0.0).reshape(hi - lo, width, f2)
-        zrow = jnp.zeros((1, width, f2), jnp.float32)
+        band = t1[pl.ds(lo * width, (hi - lo) * width), :]
+        band = jnp.maximum(band * mul1_b + add1_b, 0).reshape(hi - lo, width, f2)
+        zrow = jnp.zeros((1, width, f2), jnp.bfloat16)
         if lo == r0:
             band = jnp.concatenate([zrow, band], axis=0)
         if hi == r0 + row_chunk:
             band = jnp.concatenate([band, zrow], axis=0)
-        zcol = jnp.zeros((row_chunk, 1, f2), jnp.float32)
-        acc = jnp.zeros((row_chunk, width, f2), jnp.float32)
+        zcol = jnp.zeros((row_chunk, 1, f2), jnp.bfloat16)
+        acc = jnp.zeros((row_chunk, width, f2), jnp.bfloat16)
         for ky in range(3):
             rows = band[ky:ky + row_chunk]
             for kx in range(3):
@@ -136,17 +140,20 @@ def _hishead_kernel(x_ref, pw1_ref, dw_ref, pw2_ref, cls_ref, reg_ref,
                     win = rows
                 acc = acc + win * dw[3 * ky + kx]
         v = acc.reshape(row_chunk * width, f2)
-        s2 = s2 + v.sum(axis=0, keepdims=True)
-        q2 = q2 + (v * v).sum(axis=0, keepdims=True)
-        t2[pl.ds(r0 * width, row_chunk * width), :] = v.astype(jnp.bfloat16)
+        v32 = v.astype(jnp.float32)
+        s2 = s2 + v32.sum(axis=0, keepdims=True)
+        q2 = q2 + (v32 * v32).sum(axis=0, keepdims=True)
+        t2[pl.ds(r0 * width, row_chunk * width), :] = v
     mul2, add2 = _gn_vectors(s2, q2, n1, gn_ref[2, :f2], gn_ref[3, :f2], f2)
 
     # ---- pw2 + residual -> y ----------------------------------------------
+    mul2_b = mul2.astype(jnp.bfloat16)
+    add2_b = add2.astype(jnp.bfloat16)
     for r0 in range(0, height, row_chunk):
-        v = t2[pl.ds(r0 * width, row_chunk * width), :].astype(jnp.float32)
-        v = v * mul2 + add2
-        v = v * jax.nn.sigmoid(v)  # SiLU
-        y = _dot(v.astype(jnp.bfloat16), pw2_ref[:]) + bias_ref[0, :f]
+        v = t2[pl.ds(r0 * width, row_chunk * width), :]
+        v = v * mul2_b + add2_b
+        v = v * jax.nn.sigmoid(v)  # SiLU (bf16)
+        y = _dot(v, pw2_ref[:]) + bias_ref[0, :f]
         y = y + x_ref[0, r0:r0 + row_chunk].reshape(row_chunk * width, f).astype(jnp.float32)
         ybuf[pl.ds(r0 * width, row_chunk * width), :] = y.astype(jnp.bfloat16)
 
@@ -168,17 +175,18 @@ def _hishead_kernel(x_ref, pw1_ref, dw_ref, pw2_ref, cls_ref, reg_ref,
     mulr, addr = _gn_vectors(sr, qr, n2, gn_ref[6, :f], gn_ref[7, :f], f)
 
     # ---- prediction convs on relu(gn(tower)) -> packed [H, W, 25] ----------
-    mulc_b = mulc.astype(jnp.float32)
+    mulc_b, addc_b = mulc.astype(jnp.bfloat16), addc.astype(jnp.bfloat16)
+    mulr_b, addr_b = mulr.astype(jnp.bfloat16), addr.astype(jnp.bfloat16)
     for r0 in range(0, height, row_chunk):
         def pre_c(band):
             s = band.shape
-            v = band.reshape(-1, f).astype(jnp.float32) * mulc_b + addc
-            return jnp.maximum(v, 0.0).astype(jnp.bfloat16).reshape(s)
+            v = band.reshape(-1, f) * mulc_b + addc_b
+            return jnp.maximum(v, 0).reshape(s)
 
         def pre_r(band):
             s = band.shape
-            v = band.reshape(-1, f).astype(jnp.float32) * mulr + addr
-            return jnp.maximum(v, 0.0).astype(jnp.bfloat16).reshape(s)
+            v = band.reshape(-1, f) * mulr_b + addr_b
+            return jnp.maximum(v, 0).reshape(s)
 
         cls_out = _conv3x3_rows(cbuf, r0, row_chunk, height, width, f,
                                 pred_cls_ref, pre=pre_c) + bias_ref[1, :nc]
@@ -239,7 +247,9 @@ def hishead_level_fused(x, packed, num_classes: int, row_chunk: int = 0,
     f2 = packed["f2"]
     nc = num_classes
     if row_chunk <= 0:
-        row_chunk = max(1, min(h, 8192 // w))
+        # keep per-chunk f32 intermediates ~1-2 MB (bigger chunks spill VMEM
+        # registers: P3 at 64 rows measured 1.9x slower than 16)
+        row_chunk = max(1, min(h, 1024 // w))
         while h % row_chunk:
             row_chunk -= 1
     hw = h * w

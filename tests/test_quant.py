@@ -164,3 +164,65 @@ def test_quantize_backbone_api_and_int8_eval_forward():
         qtree, variables["params"], variables.get("batch_stats", {}), images)
     assert len(cls_l) == 5 and cls_l[0].shape == (2, 16, 16, 20)
     assert all(bool(jnp.isfinite(x).all()) for x in cls_l + cnt_l + reg_l)
+
+
+def test_qbottleneck_s2_interpret_exact():
+    """Fused stride-2 block == per-op int8 reference (strided conv2 + proj)."""
+    from pytorch_object_detection_tpu.ops.pallas_qblock import qbottleneck_s2
+
+    rng = np.random.RandomState(4)
+    B, H, W, Cin, Cw, Cout = 2, 16, 16, 32, 16, 64
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, Cin)).astype(np.int8))
+    w1 = jnp.asarray(rng.randint(-16, 16, (Cin, Cw)).astype(np.int8))
+    w2 = jnp.asarray(rng.randint(-8, 8, (3, 3, Cw, Cw)).astype(np.int8))
+    w3 = jnp.asarray(rng.randint(-16, 16, (Cw, Cout)).astype(np.int8))
+    wd = jnp.asarray(rng.randint(-16, 16, (Cin, Cout)).astype(np.int8))
+    def vec(n, s=1e-3):
+        return jnp.asarray(np.abs(rng.randn(n)).astype(np.float32) * s)
+    a1, b1, a2, b2 = vec(Cw), vec(Cw, .1), vec(Cw), vec(Cw, .1)
+    a3, b3, ad, bd = vec(Cout), vec(Cout, .1), vec(Cout), vec(Cout, .1)
+
+    def conv(v, w, stride=1):
+        wk = w if w.ndim == 4 else w[None, None]
+        pad = wk.shape[0] // 2
+        return jax.lax.conv_general_dilated(
+            v, wk, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.int32)
+
+    def rq(y):
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+    A1 = rq(jnp.maximum(conv(x, w1).astype(jnp.float32) * a1 + b1, 0))
+    A2 = rq(jnp.maximum(conv(A1, w2, 2).astype(jnp.float32) * a2 + b2, 0))
+    y = (conv(A2, w3).astype(jnp.float32) * a3 + b3
+         + conv(x, wd, 2).astype(jnp.float32) * ad + bd)
+    want = rq(jnp.maximum(y, 0))
+    got = qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd,
+                         row_chunk=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_head_matches_hishead():
+    """Whole-head Pallas kernel tracks HISHead.apply within bf16 tolerance."""
+    from pytorch_object_detection_tpu.models.heads import HISHead
+    from pytorch_object_detection_tpu.ops.pallas_head import (
+        hishead_level_fused,
+        hishead_params_pack,
+    )
+
+    NC, F = 20, 256
+    h = HISHead(NC, F)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, F)) * 0.5
+    v = h.init(jax.random.PRNGKey(0), [x])
+    cls_l, cnt_l, reg_l = h.apply(v, [x])
+    packed = hishead_params_pack(v["params"], NC)
+    out = hishead_level_fused(x, packed, NC, row_chunk=4, interpret=True)
+    s = v["params"]["scale0"]["scale"]
+    got_reg = jnp.exp(out[..., NC + 1:].astype(jnp.float32) * s)
+    for got, want, tol in [
+        (out[..., :NC], cls_l[0], 0.08),
+        (out[..., NC:NC + 1], cnt_l[0], 0.04),
+        (got_reg, reg_l[0], 0.1),
+    ]:
+        d = float(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)).max())
+        assert d < tol, d
