@@ -52,7 +52,11 @@ def build_pipeline(mode: str, hw, batch_size: int):
 
     if mode == "int8":
         qtree = quantize_backbone(model, variables, images[:8])
-        fwd = make_eval_forward_int8(model, compute_dtype=jnp.bfloat16)
+        fwd = make_eval_forward_int8(
+            model, compute_dtype=jnp.bfloat16,
+            fused_head=os.environ.get("PODT_FUSED_HEAD", "0") == "1",
+            fuse_strided=os.environ.get("PODT_FUSE_STRIDED", "0") == "1",
+        )
 
         @jax.jit
         def eval_pipeline(qtree, params, batch_stats, images):

@@ -147,7 +147,8 @@ def _qconv(x_q, w_q, stride=1):
     return acc.astype(jnp.float32)
 
 
-def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: str = "xla"):
+def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: str = "xla",
+                          fuse_strided: bool = False):
     """(C3, C4, C5) in ``compute_dtype`` from an int8-quantized backbone.
 
     backend='xla': plain XLA int8 convs (requant epilogues materialize the
@@ -180,6 +181,17 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         x = _conv(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype),
                   stride=2)
         x_q = stem_bn_pool_quant(x, mult, shift, qtree["stem_scale"])
+    elif pallas:
+        # quantize BEFORE the maxpool: max commutes with the monotone
+        # round/clip, so this is bit-identical but the pool reads int8
+        # (4x less HBM than the bf16 pool) and BN+ReLU+quantize fuse into
+        # one elementwise pass after the conv
+        x = _conv_bn_act(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype), mult, shift, stride=2)
+        x_q = quantize_act(x, qtree["stem_scale"])
+        x_q = jax.lax.reduce_window(
+            x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
     else:
         x = _conv_bn_act(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype), mult, shift, stride=2)
         x = jax.lax.reduce_window(
@@ -193,7 +205,7 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         for b in range(blocks):
             blk = qtree[f"layer{stage + 1}_{b}"]
             stride = 2 if (b == 0 and stage > 0) else 1
-            if fuse_blocks:
+            if fuse_blocks and (stride == 1 or fuse_strided):
                 cw = blk["w1"].shape[-1]
                 common = (
                     x_q, blk["w1"].reshape(-1, cw), blk["w2"], blk["w3"].reshape(cw, -1),

@@ -152,7 +152,9 @@ def _hishead_kernel(x_ref, pw1_ref, dw_ref, pw2_ref, cls_ref, reg_ref,
     for r0 in range(0, height, row_chunk):
         v = t2[pl.ds(r0 * width, row_chunk * width), :]
         v = v * mul2_b + add2_b
-        v = v * jax.nn.sigmoid(v)  # SiLU (bf16)
+        # sigmoid in f32: Mosaic's bf16 logistic lowering miscompiles
+        # (vector.broadcast element-type verification error)
+        v = v * jax.nn.sigmoid(v.astype(jnp.float32)).astype(jnp.bfloat16)
         y = _dot(v, pw2_ref[:]) + bias_ref[0, :f]
         y = y + x_ref[0, r0:r0 + row_chunk].reshape(row_chunk * width, f).astype(jnp.float32)
         ybuf[pl.ds(r0 * width, row_chunk * width), :] = y.astype(jnp.bfloat16)

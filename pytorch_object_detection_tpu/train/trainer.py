@@ -386,7 +386,7 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
 
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                            backend: str = "pallas_block", use_pallas_gn: bool = False,
-                           fused_head: bool = True):
+                           fused_head: bool = False, fuse_strided: bool = False):
     """Inference forward with an int8-PTQ backbone (serving dtype ladder:
     int8 MXU convs for the ResNet-50, bf16 FPN + head).
 
@@ -410,7 +410,8 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
     def fwd(qtree, params, batch_stats, images):
         from pytorch_object_detection_tpu.nn.layers import pallas_gn
 
-        feats = resnet50_int8_forward(qtree, images, compute_dtype, backend=backend)
+        feats = resnet50_int8_forward(qtree, images, compute_dtype, backend=backend,
+                                      fuse_strided=fuse_strided)
         fpn_vars = {"params": _cast_tree(params["fpn"], compute_dtype)}
         if batch_stats and "fpn" in batch_stats:
             fpn_vars["batch_stats"] = _cast_tree(batch_stats["fpn"], compute_dtype)
