@@ -194,26 +194,81 @@ class _PallasGN(nn.Module):
         return groupnorm_act(x, scale, bias, groups=32, eps=1e-5, act=self.act)
 
 
+class _MatmulGN(nn.Module):
+    """GroupNorm whose statistics ride the MXU.
+
+    XLA schedules the usual GN stats as a VPU reduction running at ~84 GB/s
+    over the head's P3 tensors (trace-measured); one Gram matmul of
+    [x | 1] against itself streams the same data at full HBM bandwidth and
+    yields per-channel sums (last row) and sums of squares (diagonal) as a
+    side effect of ~30 GFLOP of free MXU time.  Identical math to
+    nn.GroupNorm(32, eps=1e-5): f32 stats, biased variance; same param
+    scope/shape (scale/bias [C]).  Fully differentiable (it is just dots).
+    """
+
+    act: str = "none"
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (ch,))
+        bias = self.param("bias", nn.initializers.zeros, (ch,))
+        b = x.shape[0]
+        cg = ch // self.groups
+        x2 = x.reshape(b, -1, ch)
+        n_pos = x2.shape[1]
+        ones = jnp.ones((b, n_pos, 1), x.dtype)
+        aug = jnp.concatenate([x2, ones], axis=-1)  # [B, N, C+1]
+        gram = jax.lax.dot_general(
+            aug, aug, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [B, C+1, C+1]
+        sums = gram[:, ch, :ch]  # [B, C]
+        sumsq = jnp.diagonal(gram, axis1=1, axis2=2)[:, :ch]
+        gsum = sums.reshape(b, self.groups, cg).sum(-1)
+        gsq = sumsq.reshape(b, self.groups, cg).sum(-1)
+        n = n_pos * cg
+        mean = gsum / n
+        var = gsq / n - mean * mean
+        inv = jax.lax.rsqrt(var + self.eps)  # [B, G]
+        mul = jnp.repeat(inv, cg, axis=1) * scale[None, :]
+        add = bias[None, :] - jnp.repeat(mean * inv, cg, axis=1) * scale[None, :]
+        y = x * mul[:, None, None, :].astype(x.dtype) + add[:, None, None, :].astype(x.dtype)
+        if self.act == "relu":
+            y = relu(y)
+        elif self.act == "silu":
+            y = silu(y)
+        return y
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with 32 groups (the reference's head/tower norm).
 
     ``act`` folds the following activation ('relu'/'silu') into the norm —
-    free for XLA (it fuses anyway) and required for the Pallas kernel to
-    keep everything in one pass.
+    free for XLA (it fuses anyway) and required for the fused kernels to
+    keep everything in one pass.  Statistics are computed via the MXU Gram
+    trick (see _MatmulGN); set ``PODT_PLAIN_GN=1`` to fall back to
+    nn.GroupNorm for debugging.
     """
 
     act: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         if _PALLAS_GN[0]:
             return _PallasGN(act=self.act, name="gn")(x)
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
-        if self.act == "relu":
-            y = relu(y)
-        elif self.act == "silu":
-            y = silu(y)
-        return y
+        if os.environ.get("PODT_PLAIN_GN"):
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
+            if self.act == "relu":
+                y = relu(y)
+            elif self.act == "silu":
+                y = silu(y)
+            return y
+        return _MatmulGN(act=self.act, name="gn")(x)
 
 
 # ---------------------------------------------------------------------------
