@@ -248,9 +248,7 @@ class GroupNorm32(nn.Module):
 
     ``act`` folds the following activation ('relu'/'silu') into the norm —
     free for XLA (it fuses anyway) and required for the fused kernels to
-    keep everything in one pass.  Statistics are computed via the MXU Gram
-    trick (see _MatmulGN); set ``PODT_PLAIN_GN=1`` to fall back to
-    nn.GroupNorm for debugging.
+    keep everything in one pass.
     """
 
     act: str = "none"
@@ -261,14 +259,17 @@ class GroupNorm32(nn.Module):
 
         if _PALLAS_GN[0]:
             return _PallasGN(act=self.act, name="gn")(x)
-        if os.environ.get("PODT_PLAIN_GN"):
-            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
-            if self.act == "relu":
-                y = relu(y)
-            elif self.act == "silu":
-                y = silu(y)
-            return y
-        return _MatmulGN(act=self.act, name="gn")(x)
+        if os.environ.get("PODT_MATMUL_GN"):
+            # measured NET NEGATIVE e2e (1200 vs 1503 img/s): the ones-concat
+            # materializes a copy of x and the batched Gram schedules poorly;
+            # kept opt-in for re-evaluation (PERF.md)
+            return _MatmulGN(act=self.act, name="gn")(x)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
+        if self.act == "relu":
+            y = relu(y)
+        elif self.act == "silu":
+            y = silu(y)
+        return y
 
 
 # ---------------------------------------------------------------------------
