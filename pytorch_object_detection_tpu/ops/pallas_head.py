@@ -57,12 +57,14 @@ def _dot(x2d, w2d):
     )
 
 
-def _conv3x3_rows(src_ref, r0, rc, height, width, ch_in, w9, pre=None):
-    """3x3 SAME conv for output rows [r0, r0+rc) from a [H*W, ch] scratch.
+def _im2col_rows(src_ref, r0, rc, height, width, ch_in, pre=None):
+    """[rc*width, 9*ch_in] im2col band for output rows [r0, r0+rc).
 
-    src_ref rows are the flattened [H, W, ch] map; ``pre`` (optional) maps
-    the loaded band [rows, width, ch_in] -> same shape (e.g. GN+act).
-    w9: [9, ch_in, ch_out] f32/bf16 taps in (ky, kx) order.
+    One im2col feeds every conv sharing this input as a single K=9*ch dot —
+    v1's 9-dots-per-conv scheme left the MXU idle behind VPU window
+    shuffles (P3 kernel 9.5 ms vs ~5 ms floor); here windows are built once
+    and the dots are big.  ``pre`` maps the loaded band (e.g. GN+act).
+    Channel order: tap-major (ky,kx,ch) == w9.reshape(9*ch, co).
     """
     lo = max(r0 - 1, 0)
     hi = min(r0 + rc + 1, height)
@@ -75,7 +77,7 @@ def _conv3x3_rows(src_ref, r0, rc, height, width, ch_in, w9, pre=None):
     if hi == r0 + rc:
         band = jnp.concatenate([band, zrow], axis=0)
     zcol = jnp.zeros((rc, 1, ch_in), band.dtype)
-    acc = None
+    wins = []
     for ky in range(3):
         rows = band[ky:ky + rc]
         for kx in range(3):
@@ -85,9 +87,8 @@ def _conv3x3_rows(src_ref, r0, rc, height, width, ch_in, w9, pre=None):
                 win = jnp.concatenate([rows[:, 1:], zcol], axis=1)
             else:
                 win = rows
-            d = _dot(win.reshape(rc * width, ch_in), w9[3 * ky + kx])
-            acc = d if acc is None else acc + d
-    return acc  # [rc*width, ch_out] f32
+            wins.append(win)
+    return jnp.concatenate(wins, axis=-1).reshape(rc * width, 9 * ch_in)
 
 
 def _hishead_kernel(x_ref, pw1_ref, dw_ref, pw2_ref, cls_ref, reg_ref,
@@ -159,17 +160,18 @@ def _hishead_kernel(x_ref, pw1_ref, dw_ref, pw2_ref, cls_ref, reg_ref,
         y = y + x_ref[0, r0:r0 + row_chunk].reshape(row_chunk * width, f).astype(jnp.float32)
         ybuf[pl.ds(r0 * width, row_chunk * width), :] = y.astype(jnp.bfloat16)
 
-    # ---- towers: conv3x3(y) with gn stats ----------------------------------
+    # ---- towers: conv3x3(y) with gn stats (ONE shared im2col, two dots) ----
     sc = jnp.zeros((1, f), jnp.float32)
     qc = jnp.zeros((1, f), jnp.float32)
     sr = jnp.zeros((1, f), jnp.float32)
     qr = jnp.zeros((1, f), jnp.float32)
     for r0 in range(0, height, row_chunk):
-        c = _conv3x3_rows(ybuf, r0, row_chunk, height, width, f, cls_ref)
+        imcol = _im2col_rows(ybuf, r0, row_chunk, height, width, f)
+        c = _dot(imcol, cls_ref[:].reshape(9 * f, f))
         sc = sc + c.sum(axis=0, keepdims=True)
         qc = qc + (c * c).sum(axis=0, keepdims=True)
         cbuf[pl.ds(r0 * width, row_chunk * width), :] = c.astype(jnp.bfloat16)
-        r = _conv3x3_rows(ybuf, r0, row_chunk, height, width, f, reg_ref)
+        r = _dot(imcol, reg_ref[:].reshape(9 * f, f))
         sr = sr + r.sum(axis=0, keepdims=True)
         qr = qr + (r * r).sum(axis=0, keepdims=True)
         rbuf[pl.ds(r0 * width, row_chunk * width), :] = r.astype(jnp.bfloat16)
@@ -190,10 +192,10 @@ def _hishead_kernel(x_ref, pw1_ref, dw_ref, pw2_ref, cls_ref, reg_ref,
             v = band.reshape(-1, f) * mulr_b + addr_b
             return jnp.maximum(v, 0).reshape(s)
 
-        cls_out = _conv3x3_rows(cbuf, r0, row_chunk, height, width, f,
-                                pred_cls_ref, pre=pre_c) + bias_ref[1, :nc]
-        cr_out = _conv3x3_rows(rbuf, r0, row_chunk, height, width, f,
-                               pred_cr_ref, pre=pre_r) + bias_ref[2, :5]
+        imc = _im2col_rows(cbuf, r0, row_chunk, height, width, f, pre=pre_c)
+        cls_out = _dot(imc, pred_cls_ref[:].reshape(9 * f, nc)) + bias_ref[1, :nc]
+        imr = _im2col_rows(rbuf, r0, row_chunk, height, width, f, pre=pre_r)
+        cr_out = _dot(imr, pred_cr_ref[:].reshape(9 * f, 5)) + bias_ref[2, :5]
         packed = jnp.concatenate([cls_out, cr_out], axis=1)  # [rc*W, nc+5]
         out_ref[0, r0:r0 + row_chunk] = packed.reshape(
             row_chunk, width, nc + 5).astype(jnp.bfloat16)
