@@ -56,6 +56,7 @@ def build_pipeline(mode: str, hw, batch_size: int):
             model, compute_dtype=jnp.bfloat16,
             fused_head=os.environ.get("PODT_FUSED_HEAD", "0") == "1",
             fuse_strided=os.environ.get("PODT_FUSE_STRIDED", "0") == "1",
+            use_pallas_gn=os.environ.get("PODT_PALLAS_GN", "0") == "1",
         )
 
         @jax.jit

@@ -316,3 +316,31 @@ def test_overfit_fixture_reaches_high_ap(tmp_path):
     )
     # all fixture GT is class 12 ('dog'); its train-set AP must be ~perfect
     assert result["per_class_ap"][12] >= 0.9, result["per_class_ap"]
+
+    # ---- int8 PTQ accuracy delta on the SAME trained weights --------------
+    # (VERDICT r1 next-2a: PTQ needs an accuracy-delta test on the fixture)
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.eval.evaluator import collect_voc_predictions
+    from pytorch_object_detection_tpu.eval.voc_map import eval_voc_ap
+    from pytorch_object_detection_tpu.ops.postprocess import decode_detections
+    from pytorch_object_detection_tpu.train.trainer import (
+        make_eval_forward_int8,
+        quantize_backbone,
+    )
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    qtree = quantize_backbone(model, variables, imgs, compute_dtype=jnp.float32)
+    fwd8 = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla")
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    @jax.jit
+    def pipeline8(params, batch_stats, images_u8):
+        x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        cls_l, cnt_l, reg_l = fwd8(qtree, params, batch_stats, x)
+        return decode_detections(cls_l, cnt_l, reg_l, STRIDES, 0.05, 0.6, 1000, HW)
+
+    gtb, gtl, pb, pl_, ps, _ids = collect_voc_predictions(
+        pipeline8, state.params, state.batch_stats, dataset, batch_size=4, num_workers=2)
+    aps8 = eval_voc_ap(gtb, gtl, pb, pl_, ps, 0.5, 20)
+    assert aps8[12] >= 0.85, (aps8[12], result["per_class_ap"][12])
