@@ -93,6 +93,49 @@ def _collect(det, scales, n_valid: int = -1):
     return out
 
 
+def make_eval_pipeline_int8(
+    model,
+    variables,
+    calib_images,
+    strides: Sequence[int],
+    canvas_hw,
+    score_threshold: float = 0.05,
+    nms_iou: float = 0.6,
+    max_detections: int = 1000,
+    mean=None,
+    std=None,
+    nms_impl: str = "pallas",
+    backend: str = "pallas_block",
+):
+    """int8-PTQ serving pipeline: calibrated int8 backbone through the fused
+    Pallas bottleneck kernels + bf16 FPN/head + on-device decode/NMS.
+
+    calib_images: representative NORMALIZED float batch for activation
+    calibration.  Returns a pipeline usable via evaluate_voc(pipeline=...).
+    """
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.train.trainer import (
+        make_eval_forward_int8,
+        quantize_backbone,
+    )
+
+    mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
+    qtree = quantize_backbone(model, variables, calib_images)
+    fwd = make_eval_forward_int8(model, backend=backend)
+
+    @jax.jit
+    def pipeline(params, batch_stats, images_u8):
+        x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        cls_l, cnt_l, reg_l = fwd(qtree, params, batch_stats, x)
+        return decode_detections(
+            cls_l, cnt_l, reg_l, strides, score_threshold, nms_iou,
+            max_detections, canvas_hw, nms_impl=nms_impl,
+        )
+
+    return pipeline
+
+
 def collect_voc_predictions(
     pipeline,
     params,
@@ -147,17 +190,22 @@ def evaluate_voc(
     max_detections: int = 1000,
     process_count: Optional[int] = None,
     process_index: Optional[int] = None,
+    pipeline=None,
 ) -> Dict:
     """Full VOC eval: per-class AP@0.5, mAP, images/sec (reference test.py).
 
     Pass a Mesh to shard each eval batch over the 'data' axis (params stay
     replicated; batch_size must divide by the mesh's data size).
     process_count/index override the loader's multi-host shard (testing).
+    ``pipeline`` injects a custom jitted (params, batch_stats, images_u8) ->
+    Detections program (e.g. the int8 serving pipeline, see
+    :func:`make_eval_pipeline_int8`).
     """
     canvas_hw = dataset.canvas_hw
-    pipeline = make_eval_pipeline(
-        model, strides, canvas_hw, score_threshold, nms_iou, max_detections
-    )
+    if pipeline is None:
+        pipeline = make_eval_pipeline(
+            model, strides, canvas_hw, score_threshold, nms_iou, max_detections
+        )
     t0 = time.perf_counter()
     gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, _ids = collect_voc_predictions(
         pipeline, params, batch_stats, dataset, batch_size, num_workers,

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--torch-checkpoint", default="", help=".pth detector checkpoint to convert")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--split", default="test")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve through the int8-PTQ backbone (fused Pallas "
+                         "kernels); calibrates on the first eval batch")
     args = ap.parse_args()
 
     from pytorch_object_detection_tpu.core import config as C
@@ -48,12 +51,38 @@ def main():
     ds_root = cfg["dataset_setting"].get("test_07", cfg["dataset_setting"].get("train_07"))
     dataset = VOCDataset([ds_root], args.split, canvas)
     eval_cfg = block.get("eval", {})  # optional overrides of the reference defaults
+    pipeline = None
+    if args.int8:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pytorch_object_detection_tpu.data.pipeline import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+            DetectionLoader,
+        )
+        from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
+
+        calib_batch = next(iter(DetectionLoader(
+            dataset, min(args.batch_size, 8), shuffle=False, drop_last=False, num_workers=2)))
+        calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
+                 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        pipeline = make_eval_pipeline_int8(
+            model, {"params": state.params, "batch_stats": state.batch_stats},
+            calib, C.strides(cfg), canvas,
+            score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
+            nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
+            max_detections=int(eval_cfg.get("max_detections", 1000)),
+            nms_impl="fixpoint" if os.environ.get("PODT_FORCE_CPU") else "pallas",
+            backend="xla" if os.environ.get("PODT_FORCE_CPU") else "pallas_block",
+        )
     evaluate_voc(
         model, state.params, state.batch_stats, dataset,
         strides=C.strides(cfg), batch_size=args.batch_size, num_classes=C.num_classes(cfg),
         score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
         nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
         max_detections=int(eval_cfg.get("max_detections", 1000)),
+        pipeline=pipeline,
     )
 
 

@@ -78,6 +78,12 @@ def test_train_then_eval_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mAP=====>" in r.stdout
 
+    # int8-PTQ serving path through the same CLI (xla int8 backend on CPU)
+    r = _run(["scripts/eval_voc.py", "--config", cfg, "--checkpoint", run_dir,
+              "--batch-size", "2", "--split", "trainval", "--int8"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mAP=====>" in r.stdout
+
 
 def test_model_info_cli():
     r = _run(["scripts/model_info.py", "--model", "FCOS", "--size", "128"])
