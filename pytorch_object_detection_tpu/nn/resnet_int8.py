@@ -186,7 +186,22 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         # round/clip, so this is bit-identical but the pool reads int8
         # (4x less HBM than the bf16 pool) and BN+ReLU+quantize fuse into
         # one elementwise pass after the conv
-        x = _conv_bn_act(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype), mult, shift, stride=2)
+        import os as _os
+
+        if _os.environ.get("PODT_S2D_STEM"):
+            # exact space-to-depth rewrite of the 7x7/2 stem (12 input
+            # channels instead of 3 fill the MXU contraction better)
+            from pytorch_object_detection_tpu.nn.resnet import s2d_stem_kernel, space_to_depth
+
+            k = s2d_stem_kernel(stem["kernel"].astype(jnp.float32)).astype(compute_dtype)
+            xs = space_to_depth(images.astype(compute_dtype), 2)
+            x = jax.lax.conv_general_dilated(
+                xs, k, (1, 1), [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jnp.maximum(x * mult.astype(x.dtype) + shift.astype(x.dtype), 0)
+        else:
+            x = _conv_bn_act(images.astype(compute_dtype), stem["kernel"].astype(compute_dtype), mult, shift, stride=2)
         x_q = quantize_act(x, qtree["stem_scale"])
         x_q = jax.lax.reduce_window(
             x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),

@@ -418,8 +418,19 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
         head_vars = {"params": _cast_tree(params["head"], compute_dtype)}
         if batch_stats and "head" in batch_stats:
             head_vars["batch_stats"] = _cast_tree(batch_stats["head"], compute_dtype)
+        from pytorch_object_detection_tpu.models.fcos import HISFCOS as _HIS
+
         with pallas_gn(use_pallas_gn):
-            levels = fpn_mod.apply(fpn_vars, feats, False)
+            if isinstance(model, _HIS) and batch_stats and "fpn" in batch_stats:
+                # BN-folded functional HisFPN: kills the separate BN
+                # scale/shift passes (~2.6 ms/iter at B=64)
+                from pytorch_object_detection_tpu.nn.fused_fpn import hisfpn_folded_forward
+
+                levels = hisfpn_folded_forward(
+                    params["fpn"], batch_stats["fpn"], feats, compute_dtype
+                )
+            else:
+                levels = fpn_mod.apply(fpn_vars, feats, False)
             from pytorch_object_detection_tpu.models.fcos import HISFCOS
 
             if fused_head and isinstance(model, HISFCOS) and backend != "xla":

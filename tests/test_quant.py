@@ -226,3 +226,18 @@ def test_fused_head_matches_hishead():
     ]:
         d = float(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32)).max())
         assert d < tol, d
+
+
+def test_folded_fpn_matches_module():
+    """BN-folded functional HisFPN == module forward (f32, 1e-5)."""
+    from pytorch_object_detection_tpu.nn.fpn import HisFPN
+    from pytorch_object_detection_tpu.nn.fused_fpn import hisfpn_folded_forward
+
+    fpn = HisFPN(64)
+    feats = [jax.random.normal(jax.random.PRNGKey(i), (2, s, s, c))
+             for i, (s, c) in enumerate([(16, 512), (8, 1024), (4, 2048)])]
+    v = fpn.init(jax.random.PRNGKey(0), feats, False)
+    want = fpn.apply(v, feats, False)
+    got = hisfpn_folded_forward(v["params"], v["batch_stats"], feats, jnp.float32)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
