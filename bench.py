@@ -51,12 +51,19 @@ def build_pipeline(mode: str, hw, batch_size: int):
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch_size, *hw, 3), jnp.float32)
 
     if mode == "int8":
+        int8_fpn = os.environ.get("PODT_INT8_FPN", "1") == "1"
         qtree = quantize_backbone(model, variables, images[:8])
+        if int8_fpn:
+            from pytorch_object_detection_tpu.train.trainer import quantize_fpn
+
+            qtree = {"backbone": qtree,
+                     "fpn": quantize_fpn(model, variables, qtree, images[:8])}
         fwd = make_eval_forward_int8(
             model, compute_dtype=jnp.bfloat16,
             fused_head=os.environ.get("PODT_FUSED_HEAD", "0") == "1",
             fuse_strided=os.environ.get("PODT_FUSE_STRIDED", "0") == "1",
             use_pallas_gn=os.environ.get("PODT_PALLAS_GN", "0") == "1",
+            int8_fpn=int8_fpn,
         )
 
         @jax.jit

@@ -106,23 +106,32 @@ def make_eval_pipeline_int8(
     std=None,
     nms_impl: str = "pallas",
     backend: str = "pallas_block",
+    int8_fpn: bool = True,
 ):
-    """int8-PTQ serving pipeline: calibrated int8 backbone through the fused
-    Pallas bottleneck kernels + bf16 FPN/head + on-device decode/NMS.
+    """int8-PTQ serving pipeline: calibrated int8 backbone + HisFPN through
+    the fused Pallas kernels + bf16 head + on-device decode/NMS.
 
     calib_images: representative NORMALIZED float batch for activation
     calibration.  Returns a pipeline usable via evaluate_voc(pipeline=...).
+    ``int8_fpn=False`` restricts the int8 domain to the backbone (also the
+    automatic fallback for non-HISFCOS models).
     """
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
     from pytorch_object_detection_tpu.train.trainer import (
         make_eval_forward_int8,
         quantize_backbone,
+        quantize_fpn,
     )
 
+    int8_fpn = int8_fpn and isinstance(model, HISFCOS)
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
     qtree = quantize_backbone(model, variables, calib_images)
-    fwd = make_eval_forward_int8(model, backend=backend)
+    if int8_fpn:
+        qtree = {"backbone": qtree,
+                 "fpn": quantize_fpn(model, variables, qtree, calib_images)}
+    fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn)
 
     @jax.jit
     def pipeline(params, batch_stats, images_u8):

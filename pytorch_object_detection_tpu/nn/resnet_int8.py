@@ -148,8 +148,12 @@ def _qconv(x_q, w_q, stride=1):
 
 
 def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: str = "xla",
-                          fuse_strided: bool = False):
+                          fuse_strided: bool = False, dequant: bool = True):
     """(C3, C4, C5) in ``compute_dtype`` from an int8-quantized backbone.
+
+    dequant=False instead returns ``((c3_q, c4_q, c5_q) int8, scales)`` for
+    an int8-consuming FPN (nn/fpn_int8.py) — no f32 materialization at the
+    backbone/FPN seam.
 
     backend='xla': plain XLA int8 convs (requant epilogues materialize the
     int32 accumulator in HBM — correct but bandwidth-bound).
@@ -264,6 +268,10 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                     short = x_q.astype(jnp.float32) * blk["short_mul"]
                 y = jnp.maximum(pre + short, 0.0)
                 x_q = jnp.clip(jnp.round(y), -INT8_MAX, INT8_MAX).astype(jnp.int8)
-        outputs.append(x_q.astype(jnp.float32) * qtree[f"layer{stage + 1}_{blocks - 1}"]["out_scale"])
+        outputs.append((x_q, qtree[f"layer{stage + 1}_{blocks - 1}"]["out_scale"]))
 
-    return tuple(o.astype(compute_dtype) for o in outputs[-3:])
+    if not dequant:
+        return tuple(q for q, _ in outputs[-3:]), tuple(s for _, s in outputs[-3:])
+    return tuple(
+        (q.astype(jnp.float32) * s).astype(compute_dtype) for q, s in outputs[-3:]
+    )

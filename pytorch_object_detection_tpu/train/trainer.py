@@ -384,15 +384,50 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
     return jax.jit(quantize_resnet50)(bb_vars, taps)
 
 
+def quantize_fpn(model, variables, qtree_bb, calib_images,
+                 compute_dtype=jnp.bfloat16):
+    """PTQ the HisFPN of a HISFCOS detector (extends :func:`quantize_backbone`).
+
+    Calibrates FPN activation scales on the int8 backbone's (dequantized)
+    features — the distribution the quantized FPN actually sees at serving
+    time — and returns the FPN qtree for
+    ``make_eval_forward_int8(..., int8_fpn=True)``.
+    """
+    from pytorch_object_detection_tpu.nn.fpn_int8 import (
+        calibrate_hisfpn,
+        quantize_hisfpn,
+    )
+    from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
+
+    feats_q, scales = jax.jit(
+        functools.partial(resnet50_int8_forward, compute_dtype=jnp.float32,
+                          backend="xla", dequant=False)
+    )(qtree_bb, calib_images)
+    feats = tuple(q.astype(jnp.float32) * s for q, s in zip(feats_q, scales))
+    taps = jax.jit(calibrate_hisfpn)(
+        variables["params"]["fpn"], variables["batch_stats"]["fpn"], feats
+    )
+    taps = {k: float(v) for k, v in taps.items()}
+    return jax.jit(quantize_hisfpn)(
+        variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps, scales
+    )
+
+
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                            backend: str = "pallas_block", use_pallas_gn: bool = False,
-                           fused_head: bool = False, fuse_strided: bool = False):
+                           fused_head: bool = False, fuse_strided: bool = False,
+                           int8_fpn: bool = False):
     """Inference forward with an int8-PTQ backbone (serving dtype ladder:
     int8 MXU convs for the ResNet-50, bf16 FPN + head).
 
     Returned fn: ``(qtree, params, batch_stats, images) -> per-level fp32
     (cls, cnt, reg)`` — drop-in for :func:`make_eval_forward`'s output
     contract.  Requires a resnet50-backbone FCOS-family model.
+
+    ``int8_fpn=True`` extends the int8 domain through the HisFPN (fused
+    HisBlock Pallas kernels, nn/fpn_int8.py): ``qtree`` must then be the
+    dict ``{"backbone": ..., "fpn": ...}`` from :func:`quantize_backbone`
+    + :func:`quantize_fpn`, and the backbone/FPN seam stays int8 in HBM.
     """
     from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
     from pytorch_object_detection_tpu.utils.gradcam import _fpn_head_for
@@ -409,6 +444,25 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
 
     def fwd(qtree, params, batch_stats, images):
         from pytorch_object_detection_tpu.nn.layers import pallas_gn
+
+        if int8_fpn:
+            from pytorch_object_detection_tpu.nn.fpn_int8 import hisfpn_int8_forward
+
+            feats_q, _ = resnet50_int8_forward(
+                qtree["backbone"], images, compute_dtype, backend=backend,
+                fuse_strided=fuse_strided, dequant=False,
+            )
+            levels = hisfpn_int8_forward(
+                qtree["fpn"], feats_q, compute_dtype,
+                backend="pallas" if backend != "xla" else "xla",
+            )
+            head_vars = {"params": _cast_tree(params["head"], compute_dtype)}
+            try:
+                cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)
+            except TypeError:
+                cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels, False)
+            f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
+            return f32(cls_l), f32(cnt_l), f32(reg_l)
 
         feats = resnet50_int8_forward(qtree, images, compute_dtype, backend=backend,
                                       fuse_strided=fuse_strided)

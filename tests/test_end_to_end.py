@@ -344,3 +344,22 @@ def test_overfit_fixture_reaches_high_ap(tmp_path):
         pipeline8, state.params, state.batch_stats, dataset, batch_size=4, num_workers=2)
     aps8 = eval_voc_ap(gtb, gtl, pb, pl_, ps, 0.5, 20)
     assert aps8[12] >= 0.85, (aps8[12], result["per_class_ap"][12])
+
+    # ---- and with the int8 domain extended through the HisFPN -------------
+    from pytorch_object_detection_tpu.train.trainer import quantize_fpn
+
+    qtree2 = {"backbone": qtree,
+              "fpn": quantize_fpn(model, variables, qtree, imgs, jnp.float32)}
+    fwd8f = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla",
+                                   int8_fpn=True)
+
+    @jax.jit
+    def pipeline8f(params, batch_stats, images_u8):
+        x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        cls_l, cnt_l, reg_l = fwd8f(qtree2, params, batch_stats, x)
+        return decode_detections(cls_l, cnt_l, reg_l, STRIDES, 0.05, 0.6, 1000, HW)
+
+    gtb, gtl, pb, pl_, ps, _ids = collect_voc_predictions(
+        pipeline8f, state.params, state.batch_stats, dataset, batch_size=4, num_workers=2)
+    aps8f = eval_voc_ap(gtb, gtl, pb, pl_, ps, 0.5, 20)
+    assert aps8f[12] >= 0.85, (aps8f[12], aps8[12])

@@ -241,3 +241,90 @@ def test_folded_fpn_matches_module():
     got = hisfpn_folded_forward(v["params"], v["batch_stats"], feats, jnp.float32)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5)
+
+
+# --------------------------------------------------------------- int8 HisFPN
+
+
+def _small_fpn_setup(features=64):
+    from pytorch_object_detection_tpu.nn.fpn import HisFPN
+
+    fpn = HisFPN(features)
+    feats = [jax.random.normal(jax.random.PRNGKey(i), (2, s, s, c))
+             for i, (s, c) in enumerate([(16, 512), (8, 1024), (4, 2048)])]
+    v = fpn.init(jax.random.PRNGKey(0), feats, False)
+    s_feats = [float(jnp.max(jnp.abs(f))) / 127.0 for f in feats]
+    feats_q = tuple(jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+                    for f, s in zip(feats, s_feats))
+    return fpn, v, feats, feats_q, s_feats
+
+
+def test_hisfpn_int8_close_to_float():
+    """calibrate + quantize + int8 forward tracks the float FPN
+    (cosine > 0.99 per level on random init)."""
+    from pytorch_object_detection_tpu.nn.fpn_int8 import (
+        calibrate_hisfpn,
+        hisfpn_int8_forward,
+        quantize_hisfpn,
+    )
+    from pytorch_object_detection_tpu.nn.fused_fpn import hisfpn_folded_forward
+
+    fpn, v, feats, feats_q, s_feats = _small_fpn_setup()
+    p, s = v["params"], v["batch_stats"]
+    taps = {k: float(x) for k, x in jax.jit(calibrate_hisfpn)(p, s, feats).items()}
+    qtree = quantize_hisfpn(p, s, taps, s_feats)
+    ref = hisfpn_folded_forward(p, s, feats, jnp.float32)
+    got = hisfpn_int8_forward(qtree, feats_q, jnp.float32, backend="xla")
+    for g, w in zip(got, ref):
+        g, w = g.astype(jnp.float32), w.astype(jnp.float32)
+        cos = float((g * w).sum() / (jnp.linalg.norm(g) * jnp.linalg.norm(w) + 1e-9))
+        assert cos > 0.99, cos
+
+
+def test_hisfpn_pallas_matches_xla_oracle():
+    """Fused HisBlock kernels (interpret) vs the per-op int8 oracle: within
+    1 int8 LSB everywhere (SE's global-mean summation order is the only
+    implementation-order difference), including the fused upsample-add /
+    pool-add input combines."""
+    from pytorch_object_detection_tpu.nn.fpn_int8 import (
+        calibrate_hisfpn,
+        hisfpn_int8_forward,
+        quantize_hisfpn,
+    )
+
+    fpn, v, feats, feats_q, s_feats = _small_fpn_setup()
+    p, s = v["params"], v["batch_stats"]
+    taps = {k: float(x) for k, x in jax.jit(calibrate_hisfpn)(p, s, feats).items()}
+    qtree = quantize_hisfpn(p, s, taps, s_feats)
+    ref, _ = hisfpn_int8_forward(qtree, feats_q, backend="xla", dequant=False)
+    got, _ = hisfpn_int8_forward(qtree, feats_q, backend="pallas", dequant=False,
+                                 interpret=True)
+    for i, (g, w) in enumerate(zip(got, ref)):
+        d = np.abs(np.asarray(g, np.int32) - np.asarray(w, np.int32))
+        assert d.max() <= 1, (i, d.max())
+        assert (d > 0).mean() < 0.05, (i, (d > 0).mean())
+
+
+def test_quantize_fpn_api_int8_fpn_eval_forward():
+    """Detector-level int8 backbone+FPN path produces decodable outputs."""
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.train.trainer import (
+        make_eval_forward_int8,
+        quantize_backbone,
+        quantize_fpn,
+    )
+
+    model = HISFCOS(num_classes=20, features=64)
+    hw = (128, 128)
+    variables = jax.jit(lambda r, x: model.init(r, x, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, *hw, 3))
+    qbb = quantize_backbone(model, variables, images, compute_dtype=jnp.float32)
+    qtree = {"backbone": qbb,
+             "fpn": quantize_fpn(model, variables, qbb, images, jnp.float32)}
+    fwd = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla",
+                                 int8_fpn=True)
+    cls_l, cnt_l, reg_l = jax.jit(fwd)(
+        qtree, variables["params"], variables.get("batch_stats", {}), images)
+    assert len(cls_l) == 5 and cls_l[0].shape == (2, 16, 16, 20)
+    assert all(bool(jnp.isfinite(x).all()) for x in cls_l + cnt_l + reg_l)
