@@ -52,18 +52,25 @@ def build_pipeline(mode: str, hw, batch_size: int):
 
     if mode == "int8":
         int8_fpn = os.environ.get("PODT_INT8_FPN", "1") == "1"
+        int8_head = int8_fpn and os.environ.get("PODT_INT8_HEAD", "1") == "1"
         qtree = quantize_backbone(model, variables, images[:8])
         if int8_fpn:
-            from pytorch_object_detection_tpu.train.trainer import quantize_fpn
+            from pytorch_object_detection_tpu.train.trainer import (
+                quantize_fpn,
+                quantize_head,
+            )
 
-            qtree = {"backbone": qtree,
-                     "fpn": quantize_fpn(model, variables, qtree, images[:8])}
+            qfpn = quantize_fpn(model, variables, qtree, images[:8])
+            qtree = {"backbone": qtree, "fpn": qfpn}
+            if int8_head:
+                qtree["head"] = quantize_head(
+                    model, variables, qtree["backbone"], qfpn, images[:8])
         fwd = make_eval_forward_int8(
             model, compute_dtype=jnp.bfloat16,
             fused_head=os.environ.get("PODT_FUSED_HEAD", "0") == "1",
             fuse_strided=os.environ.get("PODT_FUSE_STRIDED", "0") == "1",
             use_pallas_gn=os.environ.get("PODT_PALLAS_GN", "0") == "1",
-            int8_fpn=int8_fpn,
+            int8_fpn=int8_fpn, int8_head=int8_head,
         )
 
         @jax.jit

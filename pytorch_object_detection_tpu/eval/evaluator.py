@@ -107,14 +107,16 @@ def make_eval_pipeline_int8(
     nms_impl: str = "pallas",
     backend: str = "pallas_block",
     int8_fpn: bool = True,
+    int8_head: bool = True,
 ):
-    """int8-PTQ serving pipeline: calibrated int8 backbone + HisFPN through
-    the fused Pallas kernels + bf16 head + on-device decode/NMS.
+    """int8-PTQ serving pipeline: calibrated int8 backbone + HisFPN + head
+    through the fused Pallas kernels + on-device decode/NMS.
 
     calib_images: representative NORMALIZED float batch for activation
     calibration.  Returns a pipeline usable via evaluate_voc(pipeline=...).
-    ``int8_fpn=False`` restricts the int8 domain to the backbone (also the
-    automatic fallback for non-HISFCOS models).
+    ``int8_fpn=False`` restricts the int8 domain to the backbone,
+    ``int8_head=False`` to backbone+FPN (both are also the automatic
+    fallback for non-HISFCOS models).
     """
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
@@ -122,16 +124,23 @@ def make_eval_pipeline_int8(
         make_eval_forward_int8,
         quantize_backbone,
         quantize_fpn,
+        quantize_head,
     )
 
     int8_fpn = int8_fpn and isinstance(model, HISFCOS)
+    int8_head = int8_head and int8_fpn
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
     qtree = quantize_backbone(model, variables, calib_images)
     if int8_fpn:
-        qtree = {"backbone": qtree,
-                 "fpn": quantize_fpn(model, variables, qtree, calib_images)}
-    fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn)
+        qfpn = quantize_fpn(model, variables, qtree, calib_images)
+        if int8_head:
+            qhead = quantize_head(model, variables, qtree, qfpn, calib_images)
+            qtree = {"backbone": qtree, "fpn": qfpn, "head": qhead}
+        else:
+            qtree = {"backbone": qtree, "fpn": qfpn}
+    fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn,
+                                 int8_head=int8_head)
 
     @jax.jit
     def pipeline(params, batch_stats, images_u8):

@@ -44,10 +44,11 @@ def _silu(x):
 
 
 def _band(scratch, r0, rc, height, width, ch, halo):
-    """rows [r0-halo, r0+rc+halo) of a [H,W,C] scratch with zero-row edges."""
+    """rows [r0-halo, r0+rc+halo) of a [H,W,C] scratch with zero-row edges
+    (dtype follows the scratch)."""
     lo, hi = max(r0 - halo, 0), min(r0 + rc + halo, height)
     xs = scratch[lo:hi]
-    zrow = jnp.zeros((1, width, ch), jnp.int8)
+    zrow = jnp.zeros((1, width, ch), xs.dtype)
     for _ in range(lo - (r0 - halo)):
         xs = jnp.concatenate([zrow, xs], axis=0)
     for _ in range((r0 + rc + halo) - hi):
@@ -64,7 +65,7 @@ def _shift_cols(band, kx, dil, width, ch):
     if off == 0:
         return band
     take = max(width - abs(off), 0)
-    zcol = jnp.zeros((band.shape[0], width - take, ch), jnp.int8)
+    zcol = jnp.zeros((band.shape[0], width - take, ch), band.dtype)
     if off < 0:
         return jnp.concatenate([zcol, band[:, :take]], axis=1)
     return jnp.concatenate([band[:, off:off + take], zcol], axis=1)

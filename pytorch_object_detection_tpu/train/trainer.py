@@ -413,10 +413,37 @@ def quantize_fpn(model, variables, qtree_bb, calib_images,
     )
 
 
+def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
+                  compute_dtype=jnp.bfloat16):
+    """PTQ the HISHead (extends quantize_backbone/quantize_fpn through the
+    whole detector).  Calibrates per-level activation scales on the int8
+    FPN's (dequantized) levels and returns the head qtree for
+    ``make_eval_forward_int8(..., int8_head=True)``."""
+    from pytorch_object_detection_tpu.models.head_int8 import (
+        calibrate_hishead,
+        quantize_hishead,
+    )
+    from pytorch_object_detection_tpu.nn.fpn_int8 import hisfpn_int8_forward
+    from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
+
+    @jax.jit
+    def levels_of(images):
+        feats_q, _ = resnet50_int8_forward(qtree_bb, images, jnp.float32,
+                                           backend="xla", dequant=False)
+        lq, sc = hisfpn_int8_forward(qtree_fpn, feats_q, backend="xla", dequant=False)
+        return tuple(q.astype(jnp.float32) * s for q, s in zip(lq, sc)), sc
+
+    levels, level_scales = levels_of(calib_images)
+    taps = jax.jit(calibrate_hishead)(variables["params"]["head"], levels)
+    taps = {k: float(v) for k, v in taps.items()}
+    return quantize_hishead(variables["params"]["head"], taps, level_scales,
+                            model.num_classes)
+
+
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                            backend: str = "pallas_block", use_pallas_gn: bool = False,
                            fused_head: bool = False, fuse_strided: bool = False,
-                           int8_fpn: bool = False):
+                           int8_fpn: bool = False, int8_head: bool = False):
     """Inference forward with an int8-PTQ backbone (serving dtype ladder:
     int8 MXU convs for the ResNet-50, bf16 FPN + head).
 
@@ -448,13 +475,26 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
         if int8_fpn:
             from pytorch_object_detection_tpu.nn.fpn_int8 import hisfpn_int8_forward
 
+            sub = "pallas" if backend != "xla" else "xla"
             feats_q, _ = resnet50_int8_forward(
                 qtree["backbone"], images, compute_dtype, backend=backend,
                 fuse_strided=fuse_strided, dequant=False,
             )
+            if int8_head:
+                from pytorch_object_detection_tpu.models.head_int8 import (
+                    hishead_int8_forward,
+                )
+
+                levels_q, _ = hisfpn_int8_forward(
+                    qtree["fpn"], feats_q, compute_dtype, backend=sub, dequant=False
+                )
+                cls_l, cnt_l, reg_l = hishead_int8_forward(
+                    qtree["head"], levels_q, backend=sub,
+                    num_classes=model.num_classes,
+                )
+                return cls_l, cnt_l, reg_l
             levels = hisfpn_int8_forward(
-                qtree["fpn"], feats_q, compute_dtype,
-                backend="pallas" if backend != "xla" else "xla",
+                qtree["fpn"], feats_q, compute_dtype, backend=sub,
             )
             head_vars = {"params": _cast_tree(params["head"], compute_dtype)}
             try:

@@ -345,13 +345,14 @@ def test_overfit_fixture_reaches_high_ap(tmp_path):
     aps8 = eval_voc_ap(gtb, gtl, pb, pl_, ps, 0.5, 20)
     assert aps8[12] >= 0.85, (aps8[12], result["per_class_ap"][12])
 
-    # ---- and with the int8 domain extended through the HisFPN -------------
-    from pytorch_object_detection_tpu.train.trainer import quantize_fpn
+    # ---- and with the int8 domain extended through the FPN AND head -------
+    from pytorch_object_detection_tpu.train.trainer import quantize_fpn, quantize_head
 
-    qtree2 = {"backbone": qtree,
-              "fpn": quantize_fpn(model, variables, qtree, imgs, jnp.float32)}
+    qfpn = quantize_fpn(model, variables, qtree, imgs, jnp.float32)
+    qtree2 = {"backbone": qtree, "fpn": qfpn,
+              "head": quantize_head(model, variables, qtree, qfpn, imgs, jnp.float32)}
     fwd8f = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla",
-                                   int8_fpn=True)
+                                   int8_fpn=True, int8_head=True)
 
     @jax.jit
     def pipeline8f(params, batch_stats, images_u8):

@@ -328,3 +328,96 @@ def test_quantize_fpn_api_int8_fpn_eval_forward():
         qtree, variables["params"], variables.get("batch_stats", {}), images)
     assert len(cls_l) == 5 and cls_l[0].shape == (2, 16, 16, 20)
     assert all(bool(jnp.isfinite(x).all()) for x in cls_l + cnt_l + reg_l)
+
+
+# --------------------------------------------------------------- int8 HISHead
+
+
+def _small_head_setup():
+    from pytorch_object_detection_tpu.models.heads import HISHead
+    from pytorch_object_detection_tpu.models.head_int8 import (
+        calibrate_hishead,
+        quantize_hishead,
+    )
+
+    C = 64
+    sizes = (8, 4, 4, 2, 1)
+    head = HISHead(num_classes=20, features=C)
+    levels = [jax.random.normal(jax.random.PRNGKey(i), (2, s, s, C))
+              for i, s in enumerate(sizes)]
+    v = head.init(jax.random.PRNGKey(0), levels)
+    s_lv = [float(jnp.max(jnp.abs(l))) / 127.0 for l in levels]
+    lv_q = [jnp.clip(jnp.round(l / s), -127, 127).astype(jnp.int8)
+            for l, s in zip(levels, s_lv)]
+    taps = {k: float(x)
+            for k, x in jax.jit(calibrate_hishead)(v["params"], levels).items()}
+    q = quantize_hishead(v["params"], taps, s_lv, 20)
+    return head, v, levels, lv_q, q
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_hishead_int8_close_to_float():
+    """GN-aware int8 head tracks the float head (cos > 0.99 per output)."""
+    from pytorch_object_detection_tpu.models.head_int8 import hishead_int8_forward
+
+    head, v, levels, lv_q, q = _small_head_setup()
+    ref_cls, ref_cnt, ref_reg = head.apply(
+        {"params": jax.tree.map(lambda x: x.astype(jnp.float32), v["params"])}, levels)
+    cls8, cnt8, reg8 = hishead_int8_forward(q, lv_q, backend="xla")
+    for i in range(5):
+        assert _cos(cls8[i], ref_cls[i]) > 0.99, i
+        assert _cos(cnt8[i], ref_cnt[i]) > 0.99, i
+        assert _cos(reg8[i], ref_reg[i]) > 0.99, i
+
+
+def test_qhishead_kernel_matches_oracle():
+    """Fused head kernel (interpret) vs the per-op oracle: logits within the
+    1-LSB int8 propagation band (GN stats summation order is the only
+    implementation-order difference)."""
+    from pytorch_object_detection_tpu.models.head_int8 import _hishead_level_i8_xla
+    from pytorch_object_detection_tpu.ops.pallas_qhead import qhishead_level
+
+    head, v, levels, lv_q, q = _small_head_setup()
+    for i in (0, 3):  # one multi-chunk-ish level, one tiny level
+        lv = q["levels"][i]
+        clsP, crP = qhishead_level(q, lv, lv_q[i], num_classes=20, row_chunk=4,
+                                   interpret=True)
+        clsX, crX = _hishead_level_i8_xla(q, lv, lv_q[i])
+        scale = float(np.abs(np.asarray(clsX)).max()) + 1e-6
+        d = np.abs(np.asarray(clsP, np.float64) - np.asarray(clsX, np.float64)).max()
+        assert d / scale < 0.05, (i, d, scale)
+        assert _cos(clsP, clsX) > 0.999, i
+        assert _cos(crP, crX) > 0.999, i
+
+
+def test_quantize_head_api_full_int8_eval_forward():
+    """Detector-level backbone+FPN+head int8 path produces decodable outputs."""
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.train.trainer import (
+        make_eval_forward_int8,
+        quantize_backbone,
+        quantize_fpn,
+        quantize_head,
+    )
+
+    model = HISFCOS(num_classes=20, features=64)
+    hw = (128, 128)
+    variables = jax.jit(lambda r, x: model.init(r, x, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, *hw, 3))
+    qbb = quantize_backbone(model, variables, images, compute_dtype=jnp.float32)
+    qfpn = quantize_fpn(model, variables, qbb, images, jnp.float32)
+    qtree = {"backbone": qbb, "fpn": qfpn,
+             "head": quantize_head(model, variables, qbb, qfpn, images, jnp.float32)}
+    fwd = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla",
+                                 int8_fpn=True, int8_head=True)
+    cls_l, cnt_l, reg_l = jax.jit(fwd)(
+        qtree, variables["params"], variables.get("batch_stats", {}), images)
+    assert len(cls_l) == 5 and cls_l[0].shape == (2, 16, 16, 20)
+    assert all(bool(jnp.isfinite(x).all()) for x in cls_l + cnt_l + reg_l)
+    assert all(bool((r > 0).all()) for r in reg_l)  # exp-activated
