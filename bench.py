@@ -68,7 +68,7 @@ def build_pipeline(mode: str, hw, batch_size: int):
         fwd = make_eval_forward_int8(
             model, compute_dtype=jnp.bfloat16,
             fused_head=os.environ.get("PODT_FUSED_HEAD", "0") == "1",
-            fuse_strided=os.environ.get("PODT_FUSE_STRIDED", "0") == "1",
+            fuse_strided=os.environ.get("PODT_FUSE_STRIDED", "1") == "1",
             use_pallas_gn=os.environ.get("PODT_PALLAS_GN", "0") == "1",
             int8_fpn=int8_fpn, int8_head=int8_head,
         )

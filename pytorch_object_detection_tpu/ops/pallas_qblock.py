@@ -143,16 +143,19 @@ def _qblock_s2_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
                     sl = band[:, 2:width + 2]
                 else:
                     sl = band[:, kx:width + kx]
-                win = sl.reshape(row_chunk, w_out, 2, cw)[:, :, 0]  # stride-2 cols
+                # stride-2 cols via lane-merge: [RC, W, cw] -> [RC, W/2, 2cw]
+                # puts even cols in the first cw LANES — an aligned lane
+                # slice instead of the (slow) 2-sublane pair select
+                win = sl.reshape(row_chunk, w_out, 2 * cw)[:, :, :cw]
                 acc2 = acc2 + _dot_i8(win.reshape(row_chunk * w_out, cw), w2_ref[ky, kx])
         a2 = _requant(jnp.maximum(acc2.astype(jnp.float32) * a2r + b2r, 0.0))
 
         acc3 = _dot_i8(a2, w3_ref[:])
         y = acc3.astype(jnp.float32) * a3r + b3r
-        # projection shortcut: x rows 2p, cols even
+        # projection shortcut: x rows 2p, cols even (same lane-merge trick)
         xr = x_img[2 * p0:2 * p0 + 2 * row_chunk]
         xr = xr.reshape(row_chunk, 2, width, cin)[:, 0]
-        xr = xr.reshape(row_chunk, w_out, 2, cin)[:, :, 0]
+        xr = xr.reshape(row_chunk, w_out, 2 * cin)[:, :, :cin]
         accd = _dot_i8(xr.reshape(row_chunk * w_out, cin), wd_ref[:])
         y = y + accd.astype(jnp.float32) * adr + bdr
         out = _requant(jnp.maximum(y, 0.0))

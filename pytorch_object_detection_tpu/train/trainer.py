@@ -442,7 +442,7 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
 
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                            backend: str = "pallas_block", use_pallas_gn: bool = False,
-                           fused_head: bool = False, fuse_strided: bool = False,
+                           fused_head: bool = False, fuse_strided: bool = True,
                            int8_fpn: bool = False, int8_head: bool = False):
     """Inference forward with an int8-PTQ backbone (serving dtype ladder:
     int8 MXU convs for the ResNet-50, bf16 FPN + head).
