@@ -65,13 +65,20 @@ def build_pipeline(mode: str, hw, batch_size: int):
             if int8_head:
                 qtree["head"] = quantize_head(
                     model, variables, qtree["backbone"], qfpn, images[:8])
+        u8_input = os.environ.get("PODT_U8_STEM", "1") == "1"
         fwd = make_eval_forward_int8(
             model, compute_dtype=jnp.bfloat16,
             fused_head=os.environ.get("PODT_FUSED_HEAD", "0") == "1",
             fuse_strided=os.environ.get("PODT_FUSE_STRIDED", "1") == "1",
             use_pallas_gn=os.environ.get("PODT_PALLAS_GN", "0") == "1",
-            int8_fpn=int8_fpn, int8_head=int8_head,
+            int8_fpn=int8_fpn, int8_head=int8_head, u8_input=u8_input,
         )
+        if u8_input:
+            # serving input contract: RAW uint8 images — normalize is folded
+            # into the exact s2d stem kernel
+            images = jax.random.randint(
+                jax.random.PRNGKey(1), (batch_size, *hw, 3), 0, 256, jnp.uint8
+            )
 
         @jax.jit
         def eval_pipeline(qtree, params, batch_stats, images):

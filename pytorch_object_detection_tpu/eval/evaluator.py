@@ -131,7 +131,10 @@ def make_eval_pipeline_int8(
     int8_head = int8_head and int8_fpn
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
-    qtree = quantize_backbone(model, variables, calib_images)
+    # u8 serving input: the normalize affine is folded into the exact s2d
+    # stem kernel, so the float normalize pass disappears entirely
+    u8_input = int8_fpn
+    qtree = quantize_backbone(model, variables, calib_images, mean=mean, std=std)
     if int8_fpn:
         qfpn = quantize_fpn(model, variables, qtree, calib_images)
         if int8_head:
@@ -140,11 +143,14 @@ def make_eval_pipeline_int8(
         else:
             qtree = {"backbone": qtree, "fpn": qfpn}
     fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn,
-                                 int8_head=int8_head)
+                                 int8_head=int8_head, u8_input=u8_input)
 
     @jax.jit
     def pipeline(params, batch_stats, images_u8):
-        x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        if u8_input:
+            x = images_u8  # raw uint8: normalize folded into the stem
+        else:
+            x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
         cls_l, cnt_l, reg_l = fwd(qtree, params, batch_stats, x)
         return decode_detections(
             cls_l, cnt_l, reg_l, strides, score_threshold, nms_iou,

@@ -91,11 +91,55 @@ def calibrate_resnet50(variables, images, compute_dtype=jnp.bfloat16) -> Dict[st
     return taps
 
 
-def quantize_resnet50(variables, act_absmax: Dict) -> Dict:
+def quantize_stem_s2d(params, stats, mean, std, stem_absmax) -> Dict:
+    """Exact uint8 stem quantization for the fused s2d stem kernel.
+
+    Images are uint8, so ``x_f = (u/255 - mean)/std`` is a per-channel
+    affine of u — it folds INTO the conv weights/bias with no input
+    quantization at all (``u - 128`` is the int8 input).  BN folds per
+    out-channel; the requant scale folds into the (relu-commuting)
+    epilogue.  Returns {w [192,64] int8, A/B f32[64], pad int8[12], scale}.
+    """
+    from pytorch_object_detection_tpu.nn.resnet import s2d_stem_kernel
+
+    mean = jnp.asarray(mean, jnp.float32).reshape(3)
+    std = jnp.asarray(std, jnp.float32).reshape(3)
+    mult, shift = _fold_bn(params["bn1"], stats["bn1"])
+    w = params["conv1"]["conv"]["kernel"].astype(jnp.float32)  # [7,7,3,64]
+    a_ch = 1.0 / (255.0 * std)  # x_f = u * a + b per input channel
+    b_ch = -mean / std
+    wn = w * a_ch[None, None, :, None]
+    const = jnp.sum(w * b_ch[None, None, :, None], axis=(0, 1, 2))  # [64]
+    weff = wn * mult  # BN fold (per out-channel)
+    bias = mult * (128.0 * jnp.sum(wn, axis=(0, 1, 2)) + const) + shift
+    # pad the input-channel dim 3 -> 4 BEFORE the s2d transform (the input
+    # is padded the same way pre-s2d, so the XLA-side channel pad runs on
+    # the cheap [B,512,512,3] layout and the s2d channel count is 16 —
+    # Mosaic needs the 16-piece im2col concat to land on aligned lanes)
+    weff4 = jnp.pad(weff, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    ks2d = s2d_stem_kernel(weff4)  # [4,4,16,64], exact; order (dy, dx, c4)
+    wq, sw = weight_qparams(ks2d)
+    s_out = act_scale(stem_absmax)
+    inv = 1.0 / s_out
+    pad3 = jnp.clip(jnp.round(255.0 * mean - 128.0), -128, 127).astype(jnp.int8)
+    pad4 = jnp.pad(pad3, (0, 1))  # 4th (zero-weight) channel
+    return {
+        "w": wq.reshape(16 * 16, 64),
+        "A": sw * inv,
+        "B": bias * inv,
+        "pad": jnp.tile(pad4, 4),  # v-domain border fill, (dy, dx, c4) order
+        "scale": s_out,
+    }
+
+
+def quantize_resnet50(variables, act_absmax: Dict, mean=None, std=None) -> Dict:
     """Fold BN, quantize weights, and pre-fold all scale algebra.
 
     act_absmax: the (batch-reduced) tap dict from :func:`calibrate_resnet50`.
-    Returns the qtree consumed by :func:`resnet50_int8_forward`.
+    Returns the qtree consumed by :func:`resnet50_int8_forward`.  When
+    ``mean``/``std`` (the input-normalize constants) are given, the qtree
+    also carries the exact uint8 s2d stem (:func:`quantize_stem_s2d`) used
+    by the ``u8_stem`` serving path.
     """
     params, stats = variables["params"], variables["batch_stats"]
     q = {"stem": {
@@ -104,6 +148,9 @@ def quantize_resnet50(variables, act_absmax: Dict) -> Dict:
     }}
     s_prev = act_scale(act_absmax["stem_out"])
     q["stem_scale"] = s_prev
+    if mean is not None and std is not None:
+        q["stem_s2d"] = quantize_stem_s2d(params, stats, mean, std,
+                                          act_absmax["stem_out"])
 
     for scope, stage, b in _block_scopes():
         p, s = params[scope], stats[scope]
@@ -136,6 +183,30 @@ def quantize_resnet50(variables, act_absmax: Dict) -> Dict:
     return q
 
 
+def _stem_s2d_i8_xla(st, xs_u8):
+    """Per-op oracle for the fused s2d stem kernel (ops/pallas_qstem):
+    u8 -> (u - 128) int8, padvec-padded 4x4/1 int8 conv + epilogue +
+    int8 maxpool."""
+    xs = (xs_u8.astype(jnp.int16) - 128).astype(jnp.int8)
+    b, hs, ws, c = xs.shape
+    pad = st["pad"].reshape(1, 1, 1, c)
+    prow = jnp.broadcast_to(pad, (b, 1, ws, c)).astype(jnp.int8)
+    xp = jnp.concatenate([prow, prow, xs, prow], axis=1)
+    pcol = jnp.broadcast_to(pad, (b, hs + 3, 1, c)).astype(jnp.int8)
+    xp = jnp.concatenate([pcol, pcol, xp, pcol], axis=2)
+    acc = jax.lax.conv_general_dilated(
+        xp, st["w"].reshape(4, 4, c, -1), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    z = jnp.maximum(acc * st["A"] + st["B"], 0.0)
+    x_q = jnp.clip(jnp.round(z), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return jax.lax.reduce_window(
+        x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
 def _qconv(x_q, w_q, stride=1):
     k = w_q.shape[0]
     pad = k // 2
@@ -148,12 +219,18 @@ def _qconv(x_q, w_q, stride=1):
 
 
 def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: str = "xla",
-                          fuse_strided: bool = False, dequant: bool = True):
+                          fuse_strided: bool = False, dequant: bool = True,
+                          u8_stem: bool = False):
     """(C3, C4, C5) in ``compute_dtype`` from an int8-quantized backbone.
 
     dequant=False instead returns ``((c3_q, c4_q, c5_q) int8, scales)`` for
     an int8-consuming FPN (nn/fpn_int8.py) — no f32 materialization at the
     backbone/FPN seam.
+
+    u8_stem=True: ``images`` is the RAW uint8 batch [B,H,W,3] — the
+    normalize affine is folded into the stem weights exactly
+    (:func:`quantize_stem_s2d`) and the whole stem (conv+BN+ReLU+requant+
+    maxpool) runs as one Pallas kernel (XLA oracle under backend='xla').
 
     backend='xla': plain XLA int8 convs (requant epilogues materialize the
     int32 accumulator in HBM — correct but bandwidth-bound).
@@ -176,7 +253,26 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
 
     stem = qtree["stem"]
     mult, shift = _fold_bn(*stem["bn"])
-    if backend == "pallas_stem_tail":
+    if u8_stem:
+        from pytorch_object_detection_tpu.nn.resnet import space_to_depth
+
+        st = qtree["stem_s2d"]
+        # channel-pad on the raw layout (cheap), s2d the uint8 directly;
+        # the u8 - 128 conversion happens inside the kernel (VMEM-local)
+        u4 = jnp.pad(images, ((0, 0), (0, 0), (0, 0), (0, 1)),
+                     constant_values=jnp.uint8(128))
+        xs = space_to_depth(u4, 2)  # [B, H/2, W/2, 16] uint8
+        if pallas:
+            from pytorch_object_detection_tpu.ops.pallas_qstem import qstem_conv
+
+            x_q = qstem_conv(xs, st["w"], st["A"], st["B"], st["pad"])
+            x_q = jax.lax.reduce_window(
+                x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                [(0, 0), (1, 1), (1, 1), (0, 0)],
+            )
+        else:
+            x_q = _stem_s2d_i8_xla(st, xs)
+    elif backend == "pallas_stem_tail":
         # experimental: measured SLOWER than XLA on v5e (the bf16 pair-reduce
         # pooling lowers to sub-lane shuffles; 28 ms/iter at B=64 vs 6.8 for
         # the unfused XLA tail) — kept for re-evaluation, not a default

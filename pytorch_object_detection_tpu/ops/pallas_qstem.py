@@ -1,0 +1,147 @@
+"""Fused int8 space-to-depth ResNet stem kernel (TPU).
+
+One kernel computes the whole serving stem — 7x7/2 conv + BN + ReLU +
+requantize + 3x3/2 maxpool — from a space-to-depth uint8-derived int8
+input.  Replaces the three slowest XLA passes of the pipeline (bf16 stem
+conv at 35 TF/s on 3 input channels, the unfused quantize chain, and the
+int8 reduce_window running ~5x off its bandwidth floor — together ~6.8 ms
+at B=64, PERF.md).
+
+Key facts making this exact and fast:
+  * images are uint8, and the normalize affine ((u/255 - mean)/std) is
+    per-channel linear — it folds into the conv weights and bias EXACTLY,
+    so ``u8 - 128`` IS the int8 conv input with zero quantization error
+    (nn/resnet_int8.quantize_stem_s2d);
+  * s2d(2) turns the 7x7/2 conv into a 4x4/1 conv over 12 channels
+    (nn/resnet.s2d_stem_kernel, exact) = ONE K=192 int8 MXU dot per row
+    band, with the im2col built by 16 lane-concats of shifted slices;
+  * the 3x3/2 maxpool commutes with the monotone requant, and both of its
+    stride-2 subsamples run at 128 lanes via lane-merge reshapes (columns
+    first, then rows) — the Mosaic-supported shape-cast forms (PERF.md).
+
+Border semantics: the reference zero-pads the NORMALIZED image
+(pad=3, resnet50 stem); x_f = 0 corresponds to v = 255*mean - 128, which
+is generally non-integer — the kernel pads with round(255*mean - 128)
+(error <= 0.5 input LSB, border pixels only; documented delta).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+S2D_C = 16  # s2d(2) of 3 input channels (12), zero-padded to 16 lanes
+            # so the 16-piece im2col concat lands on 256 aligned lanes
+KTAP = 4    # 4x4 s2d kernel
+COUT = 64
+
+
+def _dot_i8(x2d, w2d):
+    return jax.lax.dot_general(
+        x2d, w2d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def _clip8(x):
+    return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
+
+
+def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *,
+                  hs, ws, row_chunk):
+    a_row = sc_ref[0, :COUT]
+    b_row = sc_ref[1, :COUT]
+    padv = pad_ref[0]  # [S2D_C] int8 (x_f = 0 in the v domain)
+
+    x_img = x_ref[0]  # [hs, ws, 16] uint8 (raw s2d image data)
+
+    # conv 4x4/1 (pad (2,1)) + BN + ReLU + requant; output stays 2D
+    # [RC*ws, 64] — a 3D reshape at 64 lanes is an unsupported Mosaic
+    # shape cast (PERF.md), so the caller reshapes in XLA (free on HBM)
+    prow = jnp.broadcast_to(padv.reshape(1, 1, S2D_C), (1, ws, S2D_C))
+    for r0 in range(0, hs, row_chunk):
+        lo, hi = r0 - 2, r0 + row_chunk  # rows [lo, hi] inclusive (RC+3)
+        clo, chi = max(lo, 0), min(hi, hs - 1)
+        # u8 -> v = u - 128 (the int8 conv input) converts in VMEM — no
+        # separate XLA cast pass over the image
+        band = (x_img[clo:chi + 1].astype(jnp.int32) - 128).astype(jnp.int8)
+        for _ in range(clo - lo):
+            band = jnp.concatenate([prow, band], axis=0)
+        for _ in range(hi - chi):
+            band = jnp.concatenate([band, prow], axis=0)
+        # col shifts built as concats (offset-0 results): Mosaic rejects a
+        # lane-concat of sublane-OFFSET slices ("offset mismatch on
+        # non-concat dimension"), so each shifted piece is materialized by
+        # the same concat-shift pattern the block kernels use
+        pieces = []
+        for ky in range(KTAP):
+            rows = band[ky:ky + row_chunk]
+            for kx in range(KTAP):
+                off = kx - 2  # window cols q-2 .. q+1
+                if off == 0:
+                    piece = rows
+                elif off < 0:
+                    fill = jnp.broadcast_to(
+                        padv.reshape(1, 1, S2D_C), (row_chunk, -off, S2D_C))
+                    piece = jnp.concatenate([fill, rows[:, :ws + off]], axis=1)
+                else:
+                    fill = jnp.broadcast_to(
+                        padv.reshape(1, 1, S2D_C), (row_chunk, off, S2D_C))
+                    piece = jnp.concatenate([rows[:, off:], fill], axis=1)
+                pieces.append(piece)
+        win = jnp.concatenate(pieces, axis=-1)  # [RC, ws, 256]
+        acc = _dot_i8(win.reshape(row_chunk * ws, KTAP * KTAP * S2D_C), w_ref[:])
+        z = acc.astype(jnp.float32) * a_row + b_row
+        out_ref[0, r0 * ws:(r0 + row_chunk) * ws] = _clip8(jnp.maximum(z, 0.0))
+
+
+def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
+               interpret: bool = False):
+    """int8 s2d stem conv: [B, 256, 256, 16] uint8 -> [B, 256, 256, 64] int8.
+
+    xs2d: space_to_depth of the channel-padded RAW uint8 image (the
+    u8 - 128 conversion runs inside the kernel);
+    w2d/a/b/padvec from nn/resnet_int8.quantize_stem_s2d (a/b include BN
+    fold and the output requant scale; relu commutes with the positive
+    scale).  The 3x3/2 maxpool runs in XLA on the int8 output.
+    """
+    bsz, hs, ws, c = xs2d.shape
+    assert c == S2D_C and w2d.shape == (KTAP * KTAP * S2D_C, COUT)
+    assert xs2d.dtype == jnp.uint8, xs2d.dtype
+    while hs % row_chunk:
+        row_chunk //= 2
+    assert row_chunk >= 1
+
+    scales = jnp.stack([
+        jnp.asarray(a, jnp.float32).reshape(-1),
+        jnp.asarray(b, jnp.float32).reshape(-1),
+    ])  # [2, 64]
+    pad2d = jnp.asarray(padvec, jnp.int8).reshape(1, S2D_C)
+
+    kern = functools.partial(_qstem_kernel, hs=hs, ws=ws, row_chunk=row_chunk)
+    whole = lambda *shape: pl.BlockSpec(shape, lambda bi: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, hs, ws, c), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            whole(KTAP * KTAP * S2D_C, COUT),
+            whole(2, COUT),
+            whole(1, S2D_C),
+        ],
+        out_specs=pl.BlockSpec((1, hs * ws, COUT), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hs * ws, COUT), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hs * ws * KTAP * KTAP * S2D_C * COUT,
+            bytes_accessed=xs2d.size + bsz * hs * ws * COUT,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(xs2d, w2d, scales, pad2d)
+    return out.reshape(bsz, hs, ws, COUT)

@@ -362,17 +362,23 @@ def make_anchor_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16):
+def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16,
+                      mean=None, std=None):
     """PTQ the ResNet-50 backbone of a FCOS-family detector.
 
     Calibrates activation scales on ``calib_images`` (a representative
-    batch) and returns the int8 qtree for :func:`make_eval_forward_int8`.
+    NORMALIZED batch) and returns the int8 qtree for
+    :func:`make_eval_forward_int8`.  ``mean``/``std`` (the input-normalize
+    constants; ImageNet defaults) enable the exact uint8 s2d stem path.
     """
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     from pytorch_object_detection_tpu.nn.resnet_int8 import (
         calibrate_resnet50,
         quantize_resnet50,
     )
 
+    mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
     bb_vars = {
         "params": variables["params"]["backbone"],
         "batch_stats": variables["batch_stats"]["backbone"],
@@ -381,7 +387,7 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
         bb_vars, calib_images
     )
     taps = {k: float(v) for k, v in taps.items()}
-    return jax.jit(quantize_resnet50)(bb_vars, taps)
+    return jax.jit(functools.partial(quantize_resnet50))(bb_vars, taps, mean, std)
 
 
 def quantize_fpn(model, variables, qtree_bb, calib_images,
@@ -443,7 +449,8 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                            backend: str = "pallas_block", use_pallas_gn: bool = False,
                            fused_head: bool = False, fuse_strided: bool = True,
-                           int8_fpn: bool = False, int8_head: bool = False):
+                           int8_fpn: bool = False, int8_head: bool = False,
+                           u8_input: bool = False):
     """Inference forward with an int8-PTQ backbone (serving dtype ladder:
     int8 MXU convs for the ResNet-50, bf16 FPN + head).
 
@@ -455,6 +462,11 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
     HisBlock Pallas kernels, nn/fpn_int8.py): ``qtree`` must then be the
     dict ``{"backbone": ..., "fpn": ...}`` from :func:`quantize_backbone`
     + :func:`quantize_fpn`, and the backbone/FPN seam stays int8 in HBM.
+
+    ``u8_input=True``: the returned fn takes RAW uint8 images — the
+    normalize affine runs folded inside the exact s2d stem kernel
+    (nn/resnet_int8.quantize_stem_s2d), skipping the float normalize pass
+    entirely.
     """
     from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
     from pytorch_object_detection_tpu.utils.gradcam import _fpn_head_for
@@ -478,7 +490,7 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
             sub = "pallas" if backend != "xla" else "xla"
             feats_q, _ = resnet50_int8_forward(
                 qtree["backbone"], images, compute_dtype, backend=backend,
-                fuse_strided=fuse_strided, dequant=False,
+                fuse_strided=fuse_strided, dequant=False, u8_stem=u8_input,
             )
             if int8_head:
                 from pytorch_object_detection_tpu.models.head_int8 import (
@@ -505,7 +517,7 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
             return f32(cls_l), f32(cnt_l), f32(reg_l)
 
         feats = resnet50_int8_forward(qtree, images, compute_dtype, backend=backend,
-                                      fuse_strided=fuse_strided)
+                                      fuse_strided=fuse_strided, u8_stem=u8_input)
         fpn_vars = {"params": _cast_tree(params["fpn"], compute_dtype)}
         if batch_stats and "fpn" in batch_stats:
             fpn_vars["batch_stats"] = _cast_tree(batch_stats["fpn"], compute_dtype)

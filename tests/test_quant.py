@@ -421,3 +421,89 @@ def test_quantize_head_api_full_int8_eval_forward():
     assert len(cls_l) == 5 and cls_l[0].shape == (2, 16, 16, 20)
     assert all(bool(jnp.isfinite(x).all()) for x in cls_l + cnt_l + reg_l)
     assert all(bool((r > 0).all()) for r in reg_l)  # exp-activated
+
+
+# --------------------------------------------------------------- u8 s2d stem
+
+
+def test_u8_s2d_stem_exact_and_kernel_matches_oracle():
+    """The uint8 s2d stem: normalize affine folds into weights exactly
+    (stem output within 1 LSB of the float stem — weight rounding only),
+    and the Pallas kernel is bit-exact vs the XLA oracle."""
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.nn.resnet import ResNet50, space_to_depth
+    from pytorch_object_detection_tpu.nn.resnet_int8 import (
+        _stem_bf16,
+        _stem_s2d_i8_xla,
+        calibrate_resnet50,
+        quantize_resnet50,
+    )
+    from pytorch_object_detection_tpu.ops.pallas_qstem import qstem_conv
+
+    B, H = 2, 64
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 256, (B, H, H, 3)).astype(np.uint8))
+    x_f = (u8.astype(jnp.float32) / 255.0 - mean) / std
+    model = ResNet50()
+    v = jax.jit(lambda r, x: model.init(r, x, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, H, 3)))
+    calib = {k: float(x) for k, x in jax.jit(calibrate_resnet50)(v, x_f).items()}
+    q = quantize_resnet50(v, calib, mean, std)
+
+    u4 = jnp.pad(u8, ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=jnp.uint8(128))
+    xs = space_to_depth(u4, 2)
+    oracle = _stem_s2d_i8_xla(q["stem_s2d"], xs)
+    ref = _stem_bf16(v["params"], v["batch_stats"], x_f, jnp.float32)
+    ref_q = jnp.clip(jnp.round(ref / q["stem_scale"]), -127, 127)
+    d = np.abs(np.asarray(oracle, np.int32) - np.asarray(ref_q, np.int32))
+    assert d.max() <= 1, d.max()
+
+    kern = qstem_conv(xs, q["stem_s2d"]["w"], q["stem_s2d"]["A"], q["stem_s2d"]["B"],
+                      q["stem_s2d"]["pad"], interpret=True)
+    kp = jax.lax.reduce_window(kern, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
+                               (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    np.testing.assert_array_equal(np.asarray(kp), np.asarray(oracle))
+
+
+def test_u8_input_full_int8_forward():
+    """Detector-level u8-input serving path (s2d stem + int8 FPN + head)
+    stays close to the normalized-float path."""
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.train.trainer import (
+        make_eval_forward_int8,
+        quantize_backbone,
+        quantize_fpn,
+        quantize_head,
+    )
+
+    model = HISFCOS(num_classes=20, features=64)
+    hw = (128, 128)
+    variables = jax.jit(lambda r, x: model.init(r, x, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)))
+    rng = np.random.default_rng(1)
+    u8 = jnp.asarray(rng.integers(0, 256, (2, *hw, 3)).astype(np.uint8))
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    x_f = (u8.astype(jnp.float32) / 255.0 - mean) / std
+    qbb = quantize_backbone(model, variables, x_f, compute_dtype=jnp.float32)
+    qfpn = quantize_fpn(model, variables, qbb, x_f, jnp.float32)
+    qtree = {"backbone": qbb, "fpn": qfpn,
+             "head": quantize_head(model, variables, qbb, qfpn, x_f, jnp.float32)}
+    fwd_f = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla",
+                                   int8_fpn=True, int8_head=True)
+    fwd_u = make_eval_forward_int8(model, compute_dtype=jnp.float32, backend="xla",
+                                   int8_fpn=True, int8_head=True, u8_input=True)
+    p, s = variables["params"], variables.get("batch_stats", {})
+    a = jax.jit(fwd_f)(qtree, p, s, x_f)
+    b = jax.jit(fwd_u)(qtree, p, s, u8)
+    for xs_l, ys_l in zip(a, b):
+        for x, y in zip(xs_l, ys_l):
+            x, y = np.asarray(x, np.float64).ravel(), np.asarray(y, np.float64).ravel()
+            cos = x @ y / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-12)
+            # stem delta is <= 1 LSB but propagates through ~50 int8
+            # layers; cnt (near-zero-mean on random init) is the harshest
+            # cosine — the trained-weights AP test is the accuracy gate
+            assert cos > 0.95, cos
