@@ -106,7 +106,7 @@ def build_pipeline(mode: str, hw, batch_size: int):
     return (lambda: eval_pipeline(params, batch_stats, images)), images
 
 
-def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "64")), iters: int = 25, hw=(512, 512)):
+def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "128")), iters: int = 25, hw=(512, 512)):
     mode = os.environ.get("PODT_BENCH_MODE", "int8")
     try:
         run, _ = build_pipeline(mode, hw, batch_size)
