@@ -272,16 +272,20 @@ def evaluate_coco(
     max_detections: int = 1000,
     process_count: Optional[int] = None,
     process_index: Optional[int] = None,
+    pipeline=None,
 ) -> Dict:
     """COCO-protocol eval; optionally dumps a results JSON
-    (xyxy -> xywh, original coords — reference Test_coco.py:144-177)."""
+    (xyxy -> xywh, original coords — reference Test_coco.py:144-177).
+    ``pipeline`` overrides the default bf16 forward (e.g.
+    :func:`make_eval_pipeline_int8` for the serving path)."""
     import json
 
     canvas_hw = dataset.canvas_hw
     num_classes = len(dataset.class_names)
-    pipeline = make_eval_pipeline(
-        model, strides, canvas_hw, score_threshold, nms_iou, max_detections
-    )
+    if pipeline is None:
+        pipeline = make_eval_pipeline(
+            model, strides, canvas_hw, score_threshold, nms_iou, max_detections
+        )
     loader = DetectionLoader(
         dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers,
         pad_last=True, process_count=process_count, process_index=process_index,

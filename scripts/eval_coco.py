@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--results-json", default="coco_bbox_results.json")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-PTQ serving pipeline (calibrated on the first batch)")
     args = ap.parse_args()
 
     from pytorch_object_detection_tpu.core import config as C
@@ -47,12 +49,37 @@ def main():
     ds_cfg = cfg["dataset_setting"]
     dataset = COCODataset(ds_cfg["ValData"], ds_cfg["ValAnnotation"], canvas, filter_empty=False)
     eval_cfg = block.get("eval", {})
+    pipeline = None
+    if args.int8:
+        import jax.numpy as jnp
+
+        from pytorch_object_detection_tpu.data.pipeline import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+            DetectionLoader,
+        )
+        from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
+
+        calib_batch = next(iter(DetectionLoader(
+            dataset, min(args.batch_size, 8), shuffle=False, drop_last=False, num_workers=2)))
+        calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
+                 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        pipeline = make_eval_pipeline_int8(
+            model, {"params": state.params, "batch_stats": state.batch_stats},
+            calib, C.strides(cfg), canvas,
+            score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
+            nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
+            max_detections=int(eval_cfg.get("max_detections", 1000)),
+            nms_impl="fixpoint" if os.environ.get("PODT_FORCE_CPU") else "pallas",
+            backend="xla" if os.environ.get("PODT_FORCE_CPU") else "pallas_block",
+        )
     stats = evaluate_coco(
         model, state.params, state.batch_stats, dataset,
         strides=C.strides(cfg), batch_size=args.batch_size, results_json=args.results_json,
         score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
         nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
         max_detections=int(eval_cfg.get("max_detections", 1000)),
+        pipeline=pipeline,
     )
     # official numbers when pycocotools exists (metric parity)
     try:

@@ -239,6 +239,30 @@ def test_coco_dataset_and_eval_harness(tmp_path):
         assert records[0]["category_id"] in (7, 9)  # back-mapped ids
         assert len(records[0]["bbox"]) == 4
 
+    # int8 serving pipeline through the same COCO harness (xla backend)
+    from pytorch_object_detection_tpu.data.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        DetectionLoader,
+    )
+    from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
+
+    calib_batch = next(iter(DetectionLoader(ds, 2, shuffle=False, drop_last=False,
+                                            num_workers=2)))
+    calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
+             - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    pipe8 = make_eval_pipeline_int8(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        calib, STRIDES, HW, nms_impl="fixpoint", backend="xla",
+    )
+    stats8 = evaluate_coco(
+        model, state.params, state.batch_stats, ds,
+        strides=STRIDES, batch_size=2, num_workers=2, verbose=False,
+        pipeline=pipe8,
+    )
+    assert stats8["num_images"] == 4
+    assert 0.0 <= stats8["AP"] <= 1.0
+
 
 def test_sharded_eval_union_matches_single(tmp_path):
     """Two simulated processes' shards, unioned, reproduce the single-process
