@@ -108,6 +108,7 @@ def make_eval_pipeline_int8(
     backend: str = "pallas_block",
     int8_fpn: bool = True,
     int8_head: bool = True,
+    mesh=None,
 ):
     """int8-PTQ serving pipeline: calibrated int8 backbone + HisFPN + head
     through the fused Pallas kernels + on-device decode/NMS.
@@ -117,6 +118,12 @@ def make_eval_pipeline_int8(
     ``int8_fpn=False`` restricts the int8 domain to the backbone,
     ``int8_head=False`` to backbone+FPN (both are also the automatic
     fallback for non-HISFCOS models).
+
+    ``mesh``: data-parallel serving over a device Mesh.  Pallas custom
+    calls are not XLA-auto-partitionable, so the whole pipeline is wrapped
+    in ``jax.shard_map`` over the batch axis — each device runs the fused
+    kernels on its local shard (the DDP-serving counterpart of the
+    reference's single-GPU eval loop, test.py:198-223).
     """
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
@@ -145,8 +152,7 @@ def make_eval_pipeline_int8(
     fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn,
                                  int8_head=int8_head, u8_input=u8_input)
 
-    @jax.jit
-    def pipeline(params, batch_stats, images_u8):
+    def inner(qtree, params, batch_stats, images_u8):
         if u8_input:
             x = images_u8  # raw uint8: normalize folded into the stem
         else:
@@ -156,6 +162,24 @@ def make_eval_pipeline_int8(
             cls_l, cnt_l, reg_l, strides, score_threshold, nms_iou,
             max_detections, canvas_hw, nms_impl=nms_impl,
         )
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from pytorch_object_detection_tpu.parallel.mesh import DATA_AXIS
+
+        inner = jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    # qtree rides as a jit ARGUMENT: a large closure-captured array would
+    # make XLA constant-fold through the remote-compile tunnel (PERF.md)
+    jitted = jax.jit(inner)
+
+    def pipeline(params, batch_stats, images_u8):
+        return jitted(qtree, params, batch_stats, images_u8)
 
     return pipeline
 

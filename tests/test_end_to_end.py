@@ -388,3 +388,41 @@ def test_overfit_fixture_reaches_high_ap(tmp_path):
         pipeline8f, state.params, state.batch_stats, dataset, batch_size=4, num_workers=2)
     aps8f = eval_voc_ap(gtb, gtl, pb, pl_, ps, 0.5, 20)
     assert aps8f[12] >= 0.85, (aps8f[12], aps8[12])
+
+
+def test_data_parallel_int8_serving_matches_single(tmp_path):
+    """The int8 serving pipeline under a data mesh (shard_map-wrapped —
+    Pallas calls are not XLA-auto-partitionable) == single device."""
+    from pytorch_object_detection_tpu.data.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        DetectionLoader,
+    )
+    from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
+    from pytorch_object_detection_tpu.parallel.mesh import create_mesh
+
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root, n=8)
+    dataset = VOCDataset(root, "trainval", canvas_hw=HW)
+    model = HISFCOS(num_classes=20, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *HW, 3))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    calib_batch = next(iter(DetectionLoader(dataset, 4, shuffle=False,
+                                            drop_last=False, num_workers=2)))
+    calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
+             - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    kw = dict(nms_impl="fixpoint", backend="xla")
+    pipe1 = make_eval_pipeline_int8(model, variables, calib, STRIDES, HW, **kw)
+    mesh = create_mesh()
+    pipe8 = make_eval_pipeline_int8(model, variables, calib, STRIDES, HW,
+                                    mesh=mesh, **kw)
+
+    r1 = evaluate_voc(model, state.params, state.batch_stats, dataset,
+                      strides=STRIDES, batch_size=8, num_workers=2, verbose=False,
+                      pipeline=pipe1)
+    r8 = evaluate_voc(model, state.params, state.batch_stats, dataset,
+                      strides=STRIDES, batch_size=8, num_workers=2, verbose=False,
+                      pipeline=pipe8, mesh=mesh)
+    assert r8["num_images"] == r1["num_images"] == 8
+    np.testing.assert_allclose(r8["mAP"], r1["mAP"], atol=1e-6)
