@@ -55,6 +55,43 @@ def export_eval_pipeline(
     return jexport.export(fn)(p_spec, s_spec, img_spec)
 
 
+def export_eval_pipeline_int8(
+    model,
+    variables,
+    calib_images,
+    batch_size: int,
+    canvas_hw: Tuple[int, int],
+    strides: Sequence[int] = (8, 16, 32, 64, 128),
+    score_threshold: float = 0.05,
+    nms_iou: float = 0.6,
+    max_detections: int = 1000,
+    backend: str = "pallas_block",
+    nms_impl: str = "pallas",
+):
+    """Export the full int8-PTQ serving pipeline (RAW uint8 input through
+    the fused Pallas kernels + decode + NMS) as a serialized artifact.
+
+    The Pallas kernels serialize as StableHLO custom calls (TPU-platform
+    artifact).  Quantized weights are baked in as constants — the artifact
+    is the complete serving binary.  calib_images: NORMALIZED float batch
+    for activation calibration.
+    """
+    from jax import export as jexport
+
+    from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
+
+    pipeline = make_eval_pipeline_int8(
+        model, variables, calib_images, strides, canvas_hw,
+        score_threshold=score_threshold, nms_iou=nms_iou,
+        max_detections=max_detections, backend=backend, nms_impl=nms_impl,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    img_spec = jax.ShapeDtypeStruct((batch_size, *canvas_hw, 3), jnp.uint8)
+    fn = jax.jit(lambda images: tuple(pipeline(params, batch_stats, images)))
+    return jexport.export(fn)(img_spec)
+
+
 def save_exported(exported, path: str) -> None:
     with open(path, "wb") as f:
         f.write(exported.serialize())
