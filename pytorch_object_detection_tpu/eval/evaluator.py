@@ -104,7 +104,7 @@ def make_eval_pipeline_int8(
     max_detections: int = 1000,
     mean=None,
     std=None,
-    nms_impl: str = "pallas",
+    nms_impl: str = "auto",
     backend: str = "pallas_block",
     int8_fpn: bool = True,
     int8_head: bool = True,

@@ -17,7 +17,13 @@ build was the VPU wall): the 3x3 convs here are nine shifted int8 MXU dots
 on VMEM-resident tensors (the proven ops/pallas_qblock pattern), not
 materialized windows.
 
-Epilogue algebra identical to models/head_int8._hishead_level_i8_xla.
+Epilogue algebra identical to models/head_int8._hishead_level_i8_xla, with
+two documented numerical deltas (both inside the test tolerance band):
+GN sums/sums-of-squares accumulate from the f32 conv accumulator while the
+normalize pass reads the bf16-rounded scratch tensor, and variance uses the
+E[x^2] - mean^2 form in f32 over the whole level (the oracle computes
+(x - mean)^2 in two passes).  Both introduce sub-LSB deltas covered by the
+1-LSB propagation tolerance in tests/test_quant.py.
 Reference: model/od/HISFcos.py:182-229.
 """
 from __future__ import annotations
@@ -33,7 +39,14 @@ from pytorch_object_detection_tpu.ops.pallas_qhis import _band, _shift_cols
 
 GN_EPS = 1e-5
 NUM_GROUPS = 32
-PRED_PAD = 32  # cls and cnt|reg pred maps padded to 32 output channels
+
+
+def _pred_pad_for(num_classes: int) -> int:
+    """Lane-friendly pad for the packed pred maps: both the cls map
+    (num_classes ch) and the cnt|reg map (5 ch) round up to a multiple of
+    32 sublanes — 32 for VOC (20 cls), 96 for COCO (80 cls)."""
+    n = max(int(num_classes), 5)
+    return -(-n // 32) * 32
 
 
 def _dot_i8(x2d, w2d):
@@ -80,7 +93,7 @@ def _gn_vectors(ch_sum, ch_sumsq, g_ref, gamma, beta, npix, gsz):
 def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
                   wcr_ref, g1_ref, g2_ref, gn_ref, sc_ref, sm_ref,
                   cls_ref, cr_ref, z_s, zt_s, x1q_s, x2q_s, yq_s, tq_s, *,
-                  height, width, cin, row_chunk):
+                  height, width, cin, row_chunk, pred_pad):
     c2 = 2 * cin
     npix = height * width
     a1r = sc_ref[0, :]          # [2C]
@@ -88,8 +101,8 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
     a2r, b2r = sc_ref[2, :cin], sc_ref[3, :cin]
     acr_t = sc_ref[4, :cin]     # cls tower Ac
     arr_t = sc_ref[5, :cin]     # reg tower Ar
-    apc, bpc = sc_ref[6, :PRED_PAD], sc_ref[7, :PRED_PAD]
-    acr_p, bcr_p = sc_ref[8, :PRED_PAD], sc_ref[9, :PRED_PAD]
+    apc, bpc = sc_ref[6, :pred_pad], sc_ref[7, :pred_pad]
+    acr_p, bcr_p = sc_ref[8, :pred_pad], sc_ref[9, :pred_pad]
     gamma1, beta1 = gn_ref[0, :], gn_ref[1, :]
     gamma2, beta2 = gn_ref[2, :], gn_ref[3, :]
     gammac, betac = gn_ref[4, :cin], gn_ref[5, :cin]
@@ -99,7 +112,6 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
     inv_c, inv_r = sm_ref[0, 3], sm_ref[0, 4]
 
     x_img = x_ref[0]  # [H, W, C] int8
-    ones = jnp.ones((1, row_chunk * width), jnp.float32)
 
     def ch_sums(z2d):
         """Per-channel sum and sum-of-squares (VPU reduce; MXU ones-dot
@@ -178,7 +190,7 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
             tq_s[r0:r0 + row_chunk] = _clip8(jnp.maximum(z * mult + shift, 0.0))
         for r0 in range(0, height, row_chunk):
             band = _band(tq_s, r0, row_chunk, height, width, cin, 1)
-            acc = jnp.zeros((row_chunk * width, PRED_PAD), jnp.int32)
+            acc = jnp.zeros((row_chunk * width, pred_pad), jnp.int32)
             for ky in range(3):
                 rows = band[ky:ky + row_chunk]
                 for kx in range(3):
@@ -186,14 +198,14 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
                     acc = acc + _dot_i8(win.reshape(row_chunk * width, cin), w_p[ky, kx])
             out = acc.astype(jnp.float32) * a_p + b_p
             out_ref[0, r0:r0 + row_chunk] = out.reshape(
-                row_chunk, width, PRED_PAD
+                row_chunk, width, pred_pad
             ).astype(jnp.bfloat16)
 
 
-def _pad_pred(w_q, a, b):
-    """Pad pred conv [3,3,C,n] (+ its epilogue vectors) to PRED_PAD lanes."""
+def _pad_pred(w_q, a, b, pred_pad):
+    """Pad pred conv [3,3,C,n] (+ its epilogue vectors) to pred_pad lanes."""
     n = w_q.shape[-1]
-    pad = PRED_PAD - n
+    pad = pred_pad - n
     w_q = jnp.pad(w_q, ((0, 0), (0, 0), (0, 0), (0, pad)))
     a = jnp.pad(a.astype(jnp.float32).reshape(-1), (0, pad))
     b = jnp.pad(b.astype(jnp.float32).reshape(-1), (0, pad))
@@ -208,15 +220,17 @@ def qhishead_level(q, lv, x_q, *, num_classes: int | None = None,
     Returns (cls [B,H,W,num_classes] bf16, cr [B,H,W,5] bf16) where cr is
     [cnt, reg*4] pre-ScaleExp.
     """
+    from pytorch_object_detection_tpu.ops.pallas_qhis import pick_row_chunk
+
     bsz, h, w, cin = x_q.shape
     c2 = 2 * cin
     nc = int(num_classes) if num_classes is not None else int(q["num_classes"])
-    assert nc + 0 <= PRED_PAD and 5 <= PRED_PAD
-    row_chunk = min(row_chunk, h)
-    assert h % row_chunk == 0, (h, row_chunk)
+    pred_pad = _pred_pad_for(nc)
+    assert pred_pad <= c2, (nc, c2)  # epilogue rows are [*, 2C]
+    row_chunk = pick_row_chunk(h, row_chunk)
 
-    wpc, apc, bpc = _pad_pred(q["wpc"], lv["Apc"], q["bpc"])
-    wcr, acr, bcr = _pad_pred(q["wcr"], lv["Acr"], q["bcr"])
+    wpc, apc, bpc = _pad_pred(q["wpc"], lv["Apc"], q["bpc"], pred_pad)
+    wcr, acr, bcr = _pad_pred(q["wcr"], lv["Acr"], q["bcr"], pred_pad)
 
     def row(v, n=c2):
         v = jnp.asarray(v, jnp.float32).reshape(-1)
@@ -253,12 +267,13 @@ def qhishead_level(q, lv, x_q, *, num_classes: int | None = None,
     w2 = q["w2"].reshape(c2, cin)
 
     kern = functools.partial(
-        _qhead_kernel, height=h, width=w, cin=cin, row_chunk=row_chunk
+        _qhead_kernel, height=h, width=w, cin=cin, row_chunk=row_chunk,
+        pred_pad=pred_pad,
     )
     whole = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     flops = 2 * bsz * h * w * (
-        cin * c2 * 2 + 9 * c2 + 9 * cin * cin * 2 + 9 * cin * PRED_PAD * 2
+        cin * c2 * 2 + 9 * c2 + 9 * cin * cin * 2 + 9 * cin * pred_pad * 2
     )
     cls, cr = pl.pallas_call(
         kern,
@@ -267,20 +282,20 @@ def qhishead_level(q, lv, x_q, *, num_classes: int | None = None,
             pl.BlockSpec((1, h, w, cin), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             whole(cin, c2), whole(9, c2), whole(c2, cin),
             whole(3, 3, cin, cin), whole(3, 3, cin, cin),
-            whole(3, 3, cin, PRED_PAD), whole(3, 3, cin, PRED_PAD),
+            whole(3, 3, cin, pred_pad), whole(3, 3, cin, pred_pad),
             whole(cin, NUM_GROUPS), whole(c2, NUM_GROUPS),
             whole(8, c2), whole(10, c2),
             pl.BlockSpec((1, 6), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, h, w, PRED_PAD), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, h, w, pred_pad), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w, PRED_PAD), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, h, w, pred_pad), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, h, w, PRED_PAD), jnp.bfloat16),
-            jax.ShapeDtypeStruct((bsz, h, w, PRED_PAD), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, h, w, pred_pad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, h, w, pred_pad), jnp.bfloat16),
         ),
         scratch_shapes=[
             pltpu.VMEM((h, w, c2), jnp.bfloat16),   # z_s (pw1 / dw pre-norm)
@@ -292,7 +307,7 @@ def qhishead_level(q, lv, x_q, *, num_classes: int | None = None,
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=bsz * h * w * (cin + 4 * PRED_PAD),
+            bytes_accessed=bsz * h * w * (cin + 4 * pred_pad),
             transcendentals=bsz * h * w * c2,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),

@@ -29,6 +29,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def pick_row_chunk(h: int, maximum: int = 16, even: bool = False) -> int:
+    """Largest row chunk <= maximum that divides h (optionally even).
+
+    The whole-level kernels iterate static Python row bands, so the chunk
+    must divide the level height exactly; COCO's 896x1408 canvas yields
+    non-power-of-two level heights (28 at stride 32) where a fixed 16 would
+    fail — same policy as ops/pallas_qstem.qstem_conv.
+    """
+    for rc in range(min(maximum, h), 0, -1):
+        if h % rc == 0 and not (even and rc % 2):
+            return rc
+    return 1
+
+
 def _dot_i8(x2d, w2d):
     return jax.lax.dot_general(
         x2d, w2d, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -198,10 +212,9 @@ def qhisblock(blk, x_q, *, xb_q=None, combine=None, ca=1.0, cb=0.0,
     bsz, h, w, cin = (xb_q if combine else x_q).shape
     half = blk["w1"].shape[-1]
     assert cin == 2 * half, (cin, half)
-    row_chunk = min(row_chunk, h)
-    assert h % row_chunk == 0, (h, row_chunk)
+    row_chunk = pick_row_chunk(h, row_chunk, even=(combine == "up_add"))
     if combine == "up_add":
-        assert row_chunk % 2 == 0 and x_q.shape[1:3] == (h // 2, w // 2)
+        assert x_q.shape[1:3] == (h // 2, w // 2)
     elif combine == "add":
         assert x_q.shape == xb_q.shape
 

@@ -66,7 +66,7 @@ def export_eval_pipeline_int8(
     nms_iou: float = 0.6,
     max_detections: int = 1000,
     backend: str = "pallas_block",
-    nms_impl: str = "pallas",
+    nms_impl: str = "auto",
 ):
     """Export the full int8-PTQ serving pipeline (RAW uint8 input through
     the fused Pallas kernels + decode + NMS) as a serialized artifact.

@@ -73,7 +73,7 @@ def main():
             score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
             nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
             max_detections=int(eval_cfg.get("max_detections", 1000)),
-            nms_impl="fixpoint" if os.environ.get("PODT_FORCE_CPU") else "pallas",
+            nms_impl="auto",
             backend="xla" if os.environ.get("PODT_FORCE_CPU") else "pallas_block",
         )
     evaluate_voc(

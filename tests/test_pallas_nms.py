@@ -41,6 +41,58 @@ def test_pallas_nms_batch_padding():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_nms_adversarial_ties_degenerate_exact_threshold():
+    """Adversarial agreement case for all three NMS implementations (Pallas
+    kernel, XLA fixpoint, C++ oracle): duplicate boxes with tied scores,
+    zero-area boxes, and a pair whose IoU equals the threshold exactly
+    (strict `>` contract: not suppressed).  All coordinates are small
+    integers so the IoUs are exactly representable in f32 and f64."""
+    from pytorch_object_detection_tpu.native.lib import native_available, nms_cpu_native
+    from pytorch_object_detection_tpu.ops.nms import nms_keep_mask
+
+    boxes_np = np.array([
+        [0, 0, 10, 10],   # 0: kept (first of three exact duplicates)
+        [0, 0, 10, 10],   # 1: suppressed by 0 (IoU 1)
+        [0, 0, 10, 10],   # 2: suppressed by 0
+        [5, 5, 5, 5],     # 3: zero-area -> IoU 0 with everything, kept
+        [5, 5, 5, 5],     # 4: zero-area duplicate; IoU(3,4)=0/0 -> 0, kept
+        [20, 0, 24, 3],   # 5: kept
+        [20, 0, 22, 3],   # 6: IoU vs 5 = 6/12 = 0.5 == thr exactly -> kept
+        [20, 0, 23, 3],   # 7: IoU vs 5 = 9/12 = 0.75 > thr -> suppressed
+        [50, 50, 60, 60], # 8: invalid input
+    ], np.float32)
+    n = len(boxes_np)
+    valid_np = np.ones(n, bool)
+    valid_np[8] = False
+    want = np.array([1, 0, 0, 1, 1, 1, 1, 0, 0], bool)
+
+    boxes = jnp.asarray(boxes_np)[None]
+    scores = jnp.asarray(np.linspace(1.0, 0.5, n, dtype=np.float32))[None]
+    classes = jnp.ones((1, n), jnp.int32)
+    valid = jnp.asarray(valid_np)[None]
+
+    got_xla = np.asarray(nms_keep_mask(boxes[0], valid[0], 0.5))
+    got_pallas = np.asarray(
+        pallas_batched_class_nms(boxes, scores, classes, valid, 0.5, interpret=True)
+    )[0]
+    np.testing.assert_array_equal(got_xla, want)
+    np.testing.assert_array_equal(got_pallas, want)
+    if native_available():
+        got_cpp = nms_cpu_native(boxes_np, valid_np, 0.5)
+        np.testing.assert_array_equal(got_cpp, want)
+
+
+def test_resolve_nms_impl_auto(monkeypatch):
+    """auto -> fixpoint on the CPU test backend; env override wins."""
+    from pytorch_object_detection_tpu.ops.postprocess import resolve_nms_impl
+
+    assert resolve_nms_impl("auto") == "fixpoint"  # conftest forces CPU
+    assert resolve_nms_impl("pallas") == "pallas"
+    monkeypatch.setenv("PODT_NMS", "pallas")
+    assert resolve_nms_impl("auto") == "pallas"
+    assert resolve_nms_impl("fixpoint") == "pallas"
+
+
 def test_fused_resnet_matches_linen():
     """Pallas fused-epilogue ResNet forward == linen forward (fp32)."""
     import jax

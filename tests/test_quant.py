@@ -246,12 +246,12 @@ def test_folded_fpn_matches_module():
 # --------------------------------------------------------------- int8 HisFPN
 
 
-def _small_fpn_setup(features=64):
+def _small_fpn_setup(features=64, sizes=((16, 16), (8, 8), (4, 4))):
     from pytorch_object_detection_tpu.nn.fpn import HisFPN
 
     fpn = HisFPN(features)
-    feats = [jax.random.normal(jax.random.PRNGKey(i), (2, s, s, c))
-             for i, (s, c) in enumerate([(16, 512), (8, 1024), (4, 2048)])]
+    feats = [jax.random.normal(jax.random.PRNGKey(i), (2, *s, c))
+             for i, (s, c) in enumerate(zip(sizes, (512, 1024, 2048)))]
     v = fpn.init(jax.random.PRNGKey(0), feats, False)
     s_feats = [float(jnp.max(jnp.abs(f))) / 127.0 for f in feats]
     feats_q = tuple(jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
@@ -305,6 +305,43 @@ def test_hisfpn_pallas_matches_xla_oracle():
         assert (d > 0).mean() < 0.05, (i, (d > 0).mean())
 
 
+def test_pick_row_chunk():
+    from pytorch_object_detection_tpu.ops.pallas_qhis import pick_row_chunk
+
+    assert pick_row_chunk(64) == 16
+    assert pick_row_chunk(28) == 14       # COCO 896-canvas stride-32 level
+    assert pick_row_chunk(28, even=True) == 14
+    assert pick_row_chunk(7) == 7
+    assert pick_row_chunk(11) == 11
+    assert pick_row_chunk(1) == 1
+    assert pick_row_chunk(22, even=True) == 2
+
+
+def test_hisfpn_pallas_coco_canvas_shapes():
+    """Fused HisBlock kernels on non-power-of-two rectangular levels (the
+    COCO 896x1408-canvas pyramid shape family, scaled down: 28x44 -> 1x2)
+    still match the XLA oracle — exercises the pick_row_chunk divisibility
+    fallback flagged in round-2 review (row_chunk=16 does not divide 28/7)."""
+    from pytorch_object_detection_tpu.nn.fpn_int8 import (
+        calibrate_hisfpn,
+        hisfpn_int8_forward,
+        quantize_hisfpn,
+    )
+
+    fpn, v, feats, feats_q, s_feats = _small_fpn_setup(
+        sizes=((28, 44), (14, 22), (7, 11)))
+    p, s = v["params"], v["batch_stats"]
+    taps = {k: float(x) for k, x in jax.jit(calibrate_hisfpn)(p, s, feats).items()}
+    qtree = quantize_hisfpn(p, s, taps, s_feats)
+    ref, _ = hisfpn_int8_forward(qtree, feats_q, backend="xla", dequant=False)
+    got, _ = hisfpn_int8_forward(qtree, feats_q, backend="pallas", dequant=False,
+                                 interpret=True)
+    for i, (g, w) in enumerate(zip(got, ref)):
+        assert g.shape == w.shape, (i, g.shape, w.shape)
+        d = np.abs(np.asarray(g, np.int32) - np.asarray(w, np.int32))
+        assert d.max() <= 1, (i, d.max())
+
+
 def test_quantize_fpn_api_int8_fpn_eval_forward():
     """Detector-level int8 backbone+FPN path produces decodable outputs."""
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
@@ -333,7 +370,7 @@ def test_quantize_fpn_api_int8_fpn_eval_forward():
 # --------------------------------------------------------------- int8 HISHead
 
 
-def _small_head_setup():
+def _small_head_setup(num_classes=20, sizes=(8, 4, 4, 2, 1)):
     from pytorch_object_detection_tpu.models.heads import HISHead
     from pytorch_object_detection_tpu.models.head_int8 import (
         calibrate_hishead,
@@ -341,9 +378,8 @@ def _small_head_setup():
     )
 
     C = 64
-    sizes = (8, 4, 4, 2, 1)
-    head = HISHead(num_classes=20, features=C)
-    levels = [jax.random.normal(jax.random.PRNGKey(i), (2, s, s, C))
+    head = HISHead(num_classes=num_classes, features=C)
+    levels = [jax.random.normal(jax.random.PRNGKey(i), (2, *(s if isinstance(s, tuple) else (s, s)), C))
               for i, s in enumerate(sizes)]
     v = head.init(jax.random.PRNGKey(0), levels)
     s_lv = [float(jnp.max(jnp.abs(l))) / 127.0 for l in levels]
@@ -351,7 +387,7 @@ def _small_head_setup():
             for l, s in zip(levels, s_lv)]
     taps = {k: float(x)
             for k, x in jax.jit(calibrate_hishead)(v["params"], levels).items()}
-    q = quantize_hishead(v["params"], taps, s_lv, 20)
+    q = quantize_hishead(v["params"], taps, s_lv, num_classes)
     return head, v, levels, lv_q, q
 
 
@@ -391,6 +427,26 @@ def test_qhishead_kernel_matches_oracle():
         scale = float(np.abs(np.asarray(clsX)).max()) + 1e-6
         d = np.abs(np.asarray(clsP, np.float64) - np.asarray(clsX, np.float64)).max()
         assert d / scale < 0.05, (i, d, scale)
+        assert _cos(clsP, clsX) > 0.999, i
+        assert _cos(crP, crX) > 0.999, i
+
+
+def test_qhishead_kernel_coco_classes_and_canvas():
+    """80-class head (pred channels pad to 96, not the old fixed 32) on a
+    COCO-canvas-family level shape (7x11) matches the oracle — covers the
+    round-2 advisor findings on PRED_PAD and row-chunk divisibility."""
+    from pytorch_object_detection_tpu.models.head_int8 import _hishead_level_i8_xla
+    from pytorch_object_detection_tpu.ops.pallas_qhead import _pred_pad_for, qhishead_level
+
+    assert _pred_pad_for(20) == 32 and _pred_pad_for(80) == 96
+
+    head, v, levels, lv_q, q = _small_head_setup(
+        num_classes=80, sizes=((7, 11), (3, 5)))
+    for i in range(2):
+        lv = q["levels"][i]
+        clsP, crP = qhishead_level(q, lv, lv_q[i], num_classes=80, interpret=True)
+        clsX, crX = _hishead_level_i8_xla(q, lv, lv_q[i])
+        assert clsP.shape == clsX.shape == (2, *lv_q[i].shape[1:3], 80)
         assert _cos(clsP, clsX) > 0.999, i
         assert _cos(crP, crX) > 0.999, i
 
