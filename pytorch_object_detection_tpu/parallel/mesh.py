@@ -29,13 +29,28 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def initialize_distributed(coordinator: Optional[str] = None) -> None:
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Multi-host init (replaces torch.distributed env:// NCCL init).
 
-    On single-host (the common case, incl. this environment) it is a no-op.
+    On single-host with no coordinator (the common case, incl. this
+    environment) it is a no-op.  With an explicit coordinator (or under a
+    multi-host launcher that sets the env vars jax reads), it brings up the
+    cross-process runtime: afterwards `jax.devices()` spans all hosts, the
+    same mesh code works, and collectives cross process boundaries.
+    Exercised for real (2 CPU processes) by tests/test_multiprocess.py.
     """
-    if jax.process_count() > 1 or coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator)
+    if coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif jax.process_count() > 1:
+        jax.distributed.initialize()
 
 
 def create_mesh(
