@@ -253,6 +253,7 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
 
     stem = qtree["stem"]
     mult, shift = _fold_bn(*stem["bn"])
+    x_merged = False  # row-pair lane-merged stage-1 chain (u8 stem pool)
     if u8_stem:
         from pytorch_object_detection_tpu.nn.resnet import space_to_depth
 
@@ -263,13 +264,28 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                      constant_values=jnp.uint8(128))
         xs = space_to_depth(u4, 2)  # [B, H/2, W/2, 16] uint8
         if pallas:
+            import os as _os
+
             from pytorch_object_detection_tpu.ops.pallas_qstem import qstem_conv
 
-            x_q = qstem_conv(xs, st["w"], st["A"], st["B"], st["pad"])
-            x_q = jax.lax.reduce_window(
-                x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-                [(0, 0), (1, 1), (1, 1), (0, 0)],
-            )
+            if _os.environ.get("PODT_STEM_POOL", "1") == "1":
+                # 3x3/2 maxpool fused into the kernel epilogue: the
+                # full-res conv output never touches HBM (bit-identical).
+                # With the merged stage-1 chain on, the pool also emits the
+                # row-pair lane-merged layout the stage-1 kernels consume —
+                # Mosaic rejects 64<->128-lane shape casts, so the layout
+                # must be born in-kernel (no XLA relayout exists).
+                merged = (fuse_blocks and fuse_strided
+                          and _os.environ.get("PODT_MERGED_S1", "1") == "1")
+                x_q = qstem_conv(xs, st["w"], st["A"], st["B"], st["pad"],
+                                 pool=True, emit_merged=merged)
+                x_merged = merged
+            else:
+                x_q = qstem_conv(xs, st["w"], st["A"], st["B"], st["pad"])
+                x_q = jax.lax.reduce_window(
+                    x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                    [(0, 0), (1, 1), (1, 1), (0, 0)],
+                )
         else:
             x_q = _stem_s2d_i8_xla(st, xs)
     elif backend == "pallas_stem_tail":
@@ -329,9 +345,12 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                     kw = dict(
                         wd=blk["wd"].reshape(blk["wd"].shape[-2:]), ad=blk["Ad"], bd=blk["Bd"],
                     ) if "wd" in blk else dict(short_mul=blk["short_mul"])
+                    # row-pair lane-merged chain (stage 1): the 64-ch
+                    # dots/epilogues otherwise run half-lane
                     x_q = qbottleneck(
                         *common,
                         blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["A3"], blk["B3"],
+                        merged=x_merged,
                         **kw,
                     )
                 else:
@@ -339,7 +358,9 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                         *common[:4], blk["wd"].reshape(blk["wd"].shape[-2:]),
                         blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["A3"], blk["B3"],
                         blk["Ad"], blk["Bd"],
+                        merged_in=x_merged,
                     )
+                    x_merged = False  # stride-2 output is canonical
             elif pallas:
                 a1 = qconv1x1(x_q, blk["w1"], blk["A1"], blk["B1"])
                 if stride == 1:

@@ -41,9 +41,26 @@ def _requant(y):
 
 
 def _qblock_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
-                   height, width, cin, cw, cout, row_chunk, has_ds):
+                   height, width, cin, cw, cout, row_chunk, has_ds,
+                   merged=False):
     """sc_ref: f32 scale table [8, max(cw,cout)] rows =
-    A1,B1,A2,B2,A3,B3,Ad|short_mul,Bd (unused tail zero-padded)."""
+    A1,B1,A2,B2,A3,B3,Ad|short_mul,Bd (unused tail zero-padded).
+
+    ``merged=True``: ROW-pair lane-merged layout.  The block input/output
+    are [H/2, W, 2C] int8 with image row 2q in lanes [:C] and row 2q+1 in
+    lanes [C:] — produced by the stem-pool kernel (emit_merged) and carried
+    across the whole 64-channel stage so no XLA relayout ever materializes
+    (Mosaic rejects every 64<->128-lane shape cast, so the layout must be
+    born and die inside kernels).  Weights are block-diag, scale rows
+    channel-tiled, and every dot/epilogue runs at 2x the lane width —
+    recovering the MXU/VPU utilization the 64-channel stage-1 bottlenecks
+    lose to 128-lane padding (conv2's nine 64x64 dots are 4x-padded;
+    block-diag 128x128 halves the pass count).  cin/cw/cout here are the
+    MERGED channel counts (2x true); ``height`` is the merged height H/2.
+    conv2's +-1-ROW windows become half-lane rotates built from 64-aligned
+    lane slices of the current and +-1 merged rows; column windows are the
+    ordinary shifts.
+    """
     a1r = sc_ref[0, :cw]
     b1r = sc_ref[1, :cw]
     a2r = sc_ref[2, :cw]
@@ -56,6 +73,7 @@ def _qblock_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
     x_img = x_ref[0]  # [H, W, Cin], int8, VMEM-resident
 
     zero_row = jnp.zeros((1, width, cw), jnp.int8)
+    half = cw // 2  # merged: lanes per true image row
     for r0 in range(0, height, row_chunk):
         lo = max(r0 - 1, 0)
         hi = min(r0 + row_chunk + 1, height)
@@ -75,7 +93,23 @@ def _qblock_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
         zero_col = jnp.zeros((row_chunk, 1, cw), jnp.int8)
         acc2 = jnp.zeros((row_chunk * width, cw), jnp.int32)
         for ky in range(3):
-            band = a1[ky:ky + row_chunk]  # [RC, W, cw]
+            if not merged:
+                band = a1[ky:ky + row_chunk]  # [RC, W, cw]
+            else:
+                # merged rows [E_q | O_q] = image rows (2q, 2q+1); the
+                # +-1 image-row windows are half-lane rotates through the
+                # +-1 MERGED rows
+                cur = a1[1:1 + row_chunk]
+                if ky == 0:   # image rows (2q-1, 2q) = [O_{q-1} | E_q]
+                    prev = a1[0:row_chunk]
+                    band = jnp.concatenate(
+                        [prev[..., half:], cur[..., :half]], axis=-1)
+                elif ky == 2:  # image rows (2q+1, 2q+2) = [O_q | E_{q+1}]
+                    nxt = a1[2:2 + row_chunk]
+                    band = jnp.concatenate(
+                        [cur[..., half:], nxt[..., :half]], axis=-1)
+                else:
+                    band = cur
             for kx in range(3):
                 if kx == 0:
                     win = jnp.concatenate([zero_col, band[:, : width - 1]], axis=1)
@@ -100,103 +134,157 @@ def _qblock_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
 
 
 def _qblock_s2_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
-                      height, width, cin, cw, cout, row_chunk):
+                      height, width, cin, cw, cout, row_chunk, merged_in=False):
     """Stride-2 bottleneck (conv2 3x3/2 + projection shortcut 1x1/2).
 
     Output rows are chunked; each chunk computes a1 for input rows
     [2p0-1, 2p0+2RC] on the fly (1x1 conv), applies the stride-2 window
     selection with reshape-pair tricks (all static), and fuses conv3 +
     requantized shortcut + ReLU + requant.
+
+    ``merged_in=True``: the input is the ROW-pair lane-merged stage-1
+    layout ([H/2, W, 2*Cin_true], see _qblock_kernel merged) — the natural
+    consumer: the stride-2 ROW subsample is a plain 64-aligned lane slice
+    (even rows live in lanes [:C]), with no reshape at all.  ``height`` is
+    then the merged height H/2 and ``cin`` the merged channels; only
+    conv1's weights/scales come block-diag/tiled (its taps un-merge).
     """
+    cw_t = cw // 2 if merged_in else cw      # true tap channel count
+    cin_t = cin // 2 if merged_in else cin   # true input channels
     a1r, b1r = sc_ref[0, :cw], sc_ref[1, :cw]
-    a2r, b2r = sc_ref[2, :cw], sc_ref[3, :cw]
+    a2r, b2r = sc_ref[2, :cw_t], sc_ref[3, :cw_t]
     a3r, b3r = sc_ref[4, :cout], sc_ref[5, :cout]
     adr, bdr = sc_ref[6, :cout], sc_ref[7, :cout]
 
-    x_img = x_ref[0]  # [H, W, Cin]
-    h_out, w_out = height // 2, width // 2
+    x_img = x_ref[0]  # [H, W, Cin]  (merged_in: [H/2, W, 2Cin])
+    h_out, w_out = (height if merged_in else height // 2), width // 2
 
     for p0 in range(0, h_out, row_chunk):
-        lo = 2 * p0 - 1
-        hi = 2 * p0 + 2 * row_chunk + 1  # rows [lo, hi], inclusive count 2RC+2
-        clo, chi = max(lo, 0), min(hi + 1, height)
-        xs = x_img[clo:chi]
-        rows = chi - clo
-        acc1 = _dot_i8(xs.reshape(rows * width, cin), w1_ref[:])
-        a1 = _requant(jnp.maximum(acc1.astype(jnp.float32) * a1r + b1r, 0.0))
-        a1 = a1.reshape(rows, width, cw)
-        zrow = jnp.zeros((1, width, cw), jnp.int8)
-        for _ in range(clo - lo):
-            a1 = jnp.concatenate([zrow, a1], axis=0)
-        for _ in range(hi + 1 - chi):
-            a1 = jnp.concatenate([a1, zrow], axis=0)
-        # a1: [2RC+2, W, cw]; pad cols by 1 both sides for the kx shifts
-        zcol = jnp.zeros((a1.shape[0], 1, cw), jnp.int8)
-        ap = jnp.concatenate([zcol, a1, zcol], axis=1)  # [2RC+2, W+2, cw]
+        if merged_in:
+            # a1 on merged rows [p0-1, p0+RC) (halo: image row 2p-1)
+            lo, hi = p0 - 1, p0 + row_chunk
+            clo, chi = max(lo, 0), min(hi, height)
+            xs = x_img[clo:chi]
+            rows = chi - clo
+            acc1 = _dot_i8(xs.reshape(rows * width, cin), w1_ref[:])
+            a1 = _requant(jnp.maximum(acc1.astype(jnp.float32) * a1r + b1r, 0.0))
+            a1 = a1.reshape(rows, width, cw)
+            zrow = jnp.zeros((1, width, cw), jnp.int8)
+            for _ in range(clo - lo):
+                a1 = jnp.concatenate([zrow, a1], axis=0)
+            for _ in range(hi - chi):
+                a1 = jnp.concatenate([a1, zrow], axis=0)
+            # a1 [RC+1, W, 2cw_t]; pad cols FIRST (a sublane-concat of a
+            # lane-OFFSET slice is the Mosaic "offset mismatch" failure),
+            # then un-merge the three tap rows by lane slicing
+            zcol = jnp.zeros((a1.shape[0], 1, cw), jnp.int8)
+            ap = jnp.concatenate([zcol, a1, zcol], axis=1)  # [RC+1, W+2, cw]
+            bands = [
+                ap[0:row_chunk, :, cw_t:],               # image row 2p-1
+                ap[1:1 + row_chunk, :, :cw_t],           # image row 2p
+                ap[1:1 + row_chunk, :, cw_t:],           # image row 2p+1
+            ]
+        else:
+            lo = 2 * p0 - 1
+            hi = 2 * p0 + 2 * row_chunk + 1  # rows [lo, hi], count 2RC+2
+            clo, chi = max(lo, 0), min(hi + 1, height)
+            xs = x_img[clo:chi]
+            rows = chi - clo
+            acc1 = _dot_i8(xs.reshape(rows * width, cin), w1_ref[:])
+            a1 = _requant(jnp.maximum(acc1.astype(jnp.float32) * a1r + b1r, 0.0))
+            a1 = a1.reshape(rows, width, cw)
+            zrow = jnp.zeros((1, width, cw), jnp.int8)
+            for _ in range(clo - lo):
+                a1 = jnp.concatenate([zrow, a1], axis=0)
+            for _ in range(hi + 1 - chi):
+                a1 = jnp.concatenate([a1, zrow], axis=0)
+            # a1: [2RC+2, W, cw]; pad cols by 1 both sides for kx shifts
+            zcol = jnp.zeros((a1.shape[0], 1, cw), jnp.int8)
+            ap = jnp.concatenate([zcol, a1, zcol], axis=1)  # [2RC+2, W+2, cw]
+            bands = [
+                ap[ky:ky + 2 * row_chunk].reshape(
+                    row_chunk, 2, width + 2, cw)[:, 0]  # stride-2 rows
+                for ky in range(3)
+            ]
 
-        acc2 = jnp.zeros((row_chunk * w_out, cw), jnp.int32)
+        acc2 = jnp.zeros((row_chunk * w_out, cw_t), jnp.int32)
         for ky in range(3):
-            band = ap[ky:ky + 2 * row_chunk]  # rows ky+2i for i<RC after pairing
-            band = band.reshape(row_chunk, 2, width + 2, cw)[:, 0]  # stride-2 rows
+            band = bands[ky]  # [RC, W+2, cw_t]
             for kx in range(3):
                 if kx == 2:
                     sl = band[:, 2:width + 2]
                 else:
                     sl = band[:, kx:width + kx]
-                # stride-2 cols via lane-merge: [RC, W, cw] -> [RC, W/2, 2cw]
-                # puts even cols in the first cw LANES — an aligned lane
+                # stride-2 cols via lane-merge: [RC, W, c] -> [RC, W/2, 2c]
+                # puts even cols in the first c LANES — an aligned lane
                 # slice instead of the (slow) 2-sublane pair select
-                win = sl.reshape(row_chunk, w_out, 2 * cw)[:, :, :cw]
-                acc2 = acc2 + _dot_i8(win.reshape(row_chunk * w_out, cw), w2_ref[ky, kx])
+                win = sl.reshape(row_chunk, w_out, 2 * cw_t)[:, :, :cw_t]
+                acc2 = acc2 + _dot_i8(win.reshape(row_chunk * w_out, cw_t), w2_ref[ky, kx])
         a2 = _requant(jnp.maximum(acc2.astype(jnp.float32) * a2r + b2r, 0.0))
 
         acc3 = _dot_i8(a2, w3_ref[:])
         y = acc3.astype(jnp.float32) * a3r + b3r
         # projection shortcut: x rows 2p, cols even (same lane-merge trick)
-        xr = x_img[2 * p0:2 * p0 + 2 * row_chunk]
-        xr = xr.reshape(row_chunk, 2, width, cin)[:, 0]
-        xr = xr.reshape(row_chunk, w_out, 2 * cin)[:, :, :cin]
-        accd = _dot_i8(xr.reshape(row_chunk * w_out, cin), wd_ref[:])
+        if merged_in:
+            xr = x_img[p0:p0 + row_chunk, :, :cin_t]  # image rows 2p
+        else:
+            xr = x_img[2 * p0:2 * p0 + 2 * row_chunk]
+            xr = xr.reshape(row_chunk, 2, width, cin_t)[:, 0]
+        xr = xr.reshape(row_chunk, w_out, 2 * cin_t)[:, :, :cin_t]
+        accd = _dot_i8(xr.reshape(row_chunk * w_out, cin_t), wd_ref[:])
         y = y + accd.astype(jnp.float32) * adr + bdr
         out = _requant(jnp.maximum(y, 0.0))
         out_ref[0, p0:p0 + row_chunk] = out.reshape(row_chunk, w_out, cout)
 
 
 def qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd, *,
-                   row_chunk: int = 8, interpret: bool = False):
+                   row_chunk: int = 8, merged_in: bool = False,
+                   interpret: bool = False):
     """Fused stride-2 bottleneck block (always a projection shortcut).
 
     x [B,H,W,Cin] int8 -> [B,H/2,W/2,Cout] int8.
+    ``merged_in=True``: x is the row-pair lane-merged stage-1 layout
+    [B,H/2,W,2Cin] (see _qblock_s2_kernel); output stays canonical.
     """
     bsz, h, wdt, cin = x.shape
     cw = w1.shape[1]
     cout = w3.shape[1]
-    h_out, w_out = h // 2, wdt // 2
+    h_out, w_out = (h if merged_in else h // 2), wdt // 2
     row_chunk = min(row_chunk, h_out)
     assert h_out % row_chunk == 0, (h_out, row_chunk)
-    cmax = max(cw, cout)
+    if merged_in:
+        assert cin == 2 * w1.shape[0], (x.shape, w1.shape)
+        w1 = jnp.kron(jnp.eye(2, dtype=w1.dtype), w1)  # [2Cin, 2cw]
+        tile2 = lambda v: jnp.tile(jnp.asarray(v, jnp.float32).reshape(-1), 2)
+        a1k, b1k = tile2(a1), tile2(b1)
+        cw_k = 2 * cw
+    else:
+        a1k, b1k, cw_k = a1, b1, cw
+    cmax = max(cw_k, cout)
 
     def row(v):
-        v = v.astype(jnp.float32).reshape(-1)
+        v = jnp.asarray(v, jnp.float32).reshape(-1)
         return jnp.pad(v, (0, cmax - v.shape[0]))
 
     scales = jnp.stack([
-        row(a1), row(b1), row(a2), row(b2), row(a3), row(b3), row(ad), row(bd),
+        row(a1k), row(b1k), row(a2), row(b2), row(a3), row(b3), row(ad), row(bd),
     ])
     kern = functools.partial(
-        _qblock_s2_kernel, height=h, width=wdt, cin=cin, cw=cw, cout=cout,
-        row_chunk=row_chunk,
+        _qblock_s2_kernel, height=h, width=wdt, cin=cin, cw=cw_k, cout=cout,
+        row_chunk=row_chunk, merged_in=merged_in,
     )
-    flops = 2 * bsz * (h * wdt * cin * cw + h_out * w_out * (9 * cw * cw + cw * cout + cin * cout))
+    true_cin = cin // 2 if merged_in else cin
+    flops = 2 * bsz * h_out * 2 * wdt * true_cin * cw + 2 * bsz * h_out * w_out * (
+        9 * cw * cw + cw * cout + true_cin * cout)
     return pl.pallas_call(
         kern,
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, h, wdt, cin), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cw), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cw_k), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, cw, cw), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((cw, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((true_cin, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, cmax), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h_out, w_out, cout), lambda b: (b, 0, 0, 0),
@@ -214,13 +302,22 @@ def qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd, *,
 
 def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
                 short_mul=None, wd=None, ad=None, bd=None,
-                row_chunk: int = 16, interpret: bool = False):
+                row_chunk: int = 16, merged: bool = False,
+                interpret: bool = False):
     """Fused stride-1 bottleneck block.
 
     x [B,H,W,Cin] int8; w1 [Cin,Cw], w2 [3,3,Cw,Cw], w3 [Cw,Cout] int8;
     a*/b* f32 per-channel epilogue vectors.  Identity shortcut: pass
     ``short_mul`` (f32 scalar s_in/s_out, requires Cin == Cout).
     Projection shortcut: pass wd [Cin,Cout] int8 + ad/bd f32[Cout].
+
+    ``merged=True``: ROW-pair lane-merged io (see _qblock_kernel): ``x`` is
+    ``[B, H/2, W, 2*Cin]`` (image row 2q in lanes [:Cin]) and the output
+    comes back ``[B, H/2, W, 2*Cout]``.  The layout is produced by
+    upstream kernels (stem pool emit_merged / a previous merged block) and
+    consumed downstream (next merged block / the stride-2 block's
+    merged_in), so it never needs an XLA relayout; tests convert with
+    :func:`row_pair_merge` / :func:`row_pair_split`.
     """
     bsz, h, wdt, cin = x.shape
     cw = w1.shape[1]
@@ -229,10 +326,22 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
     row_chunk = min(row_chunk, h)
     assert h % row_chunk == 0, (h, row_chunk)
     if not has_ds:
-        assert cin == cout and short_mul is not None
-        wd = jnp.zeros((cin, cout), jnp.int8)
+        assert w1.shape[0] == cout and short_mul is not None
+        wd = jnp.zeros((w1.shape[0], cout), jnp.int8)
         ad = jnp.broadcast_to(jnp.asarray(short_mul, jnp.float32), (cout,))
         bd = jnp.zeros((cout,), jnp.float32)
+
+    if merged:
+        assert cin == 2 * w1.shape[0], (x.shape, w1.shape)
+        eye2 = jnp.eye(2, dtype=w1.dtype)
+        bd2 = lambda w: jnp.kron(eye2, w)  # [K,N] -> block-diag [2K,2N]
+        w1, w3, wd = bd2(w1), bd2(w3), bd2(wd)
+        w2 = jnp.stack([jnp.stack([bd2(w2[ky, kx]) for kx in range(3)])
+                        for ky in range(3)])
+        tile2 = lambda v: jnp.tile(jnp.asarray(v, jnp.float32).reshape(-1), 2)
+        a1, b1, a2, b2 = map(tile2, (a1, b1, a2, b2))
+        a3, b3, ad, bd = map(tile2, (a3, b3, ad, bd))
+        cw, cout = 2 * cw, 2 * cout
 
     cmax = max(cw, cout)
 
@@ -247,10 +356,12 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
 
     kern = functools.partial(
         _qblock_kernel, height=h, width=wdt, cin=cin, cw=cw, cout=cout,
-        row_chunk=row_chunk, has_ds=has_ds,
+        row_chunk=row_chunk, has_ds=has_ds, merged=merged,
     )
     flops = 2 * bsz * h * wdt * (cin * cw + 9 * cw * cw + cw * cout + (cin * cout if has_ds else 0))
-    return pl.pallas_call(
+    if merged:  # block-diag doubles nominal dims; true flops are half
+        flops //= 2
+    call = pl.pallas_call(
         kern,
         grid=(bsz,),
         in_specs=[
@@ -273,4 +384,21 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
         # beyond the 16MB default scoped-vmem limit
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(x, w1, w2, w3, wd, scales)
+    )
+    return call(x, w1, w2, w3, wd, scales)
+
+
+def row_pair_merge(x):
+    """[B, H, W, C] -> [B, H/2, W, 2C] row-pair lanes (tests/fallbacks —
+    inside the serving pipeline the layout is produced by kernels)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, h // 2, w, 2 * c)
+
+
+def row_pair_split(x):
+    """Inverse of :func:`row_pair_merge`."""
+    b, q, w, c2 = x.shape
+    c = c2 // 2
+    return x.reshape(b, q, w, 2, c).transpose(0, 1, 3, 2, 4).reshape(
+        b, 2 * q, w, c)

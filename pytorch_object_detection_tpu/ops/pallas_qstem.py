@@ -49,10 +49,11 @@ def _clip8(x):
     return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
 
 
-def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *,
-                  hs, ws, row_chunk):
-    a_row = sc_ref[0, :COUT]
-    b_row = sc_ref[1, :COUT]
+def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *carry_s,
+                  hs, ws, row_chunk, pool, emit_merged=False):
+    # pool: scale rows are channel-tiled to 128 for the block-diag dot
+    a_row = sc_ref[0, :]
+    b_row = sc_ref[1, :]
     padv = pad_ref[0]  # [S2D_C] int8 (x_f = 0 in the v domain)
 
     x_img = x_ref[0]  # [hs, ws, 16] uint8 (raw s2d image data)
@@ -92,12 +93,66 @@ def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *,
                     piece = jnp.concatenate([rows[:, off:], fill], axis=1)
                 pieces.append(piece)
         win = jnp.concatenate(pieces, axis=-1)  # [RC, ws, 256]
-        acc = _dot_i8(win.reshape(row_chunk * ws, KTAP * KTAP * S2D_C), w_ref[:])
-        z = acc.astype(jnp.float32) * a_row + b_row
-        out_ref[0, r0 * ws:(r0 + row_chunk) * ws] = _clip8(jnp.maximum(z, 0.0))
+        if not pool:
+            acc = _dot_i8(win.reshape(row_chunk * ws, KTAP * KTAP * S2D_C), w_ref[:])
+            z = acc.astype(jnp.float32) * a_row + b_row
+            out_ref[0, r0 * ws:(r0 + row_chunk) * ws] = _clip8(jnp.maximum(z, 0.0))
+            continue
+
+        # ---- fused 3x3/2 maxpool (reference resnet50 stem pool).  Mosaic
+        # constraints shaping this epilogue (each hit while building it):
+        #   * every 64-lane shape cast of the conv OUTPUT is rejected (2D
+        #     and 3D lane-merges included), so the (even,odd)-column split
+        #     happens on the 256-lane im2col — the one lane-merge form
+        #     proven to compile ([R,2W,C] -> [R,W,2C], PERF.md) — and ONE
+        #     block-diag dot produces the column-pair tensor directly
+        #     (two lane-offset half dots measured slower: the offset-256
+        #     operand forces a relayout per band);
+        #   * int8/uint8 jnp.maximum does not legalize (arith.maxsi/maxui),
+        #     so the pool maxes run on the RELU'd f32 values and the int8
+        #     requant happens once on the pooled result — bit-identical
+        #     because round/clip are monotone (max commutes);
+        #   * sublane-concat of a lane-OFFSET slice is the "offset mismatch
+        #     on non-concat dimension" failure, so the row shift happens on
+        #     the full-width tensor and the odd-lane slice comes after.
+        # emit_merged=True: pool rows are written as ROW-pair lanes
+        # ([pool row 2q | 2q+1]) — the layout the merged stage-1 bottleneck
+        # kernels consume — so no XLA relayout ever materializes.
+        (carry,) = carry_s
+        wp, pc = ws // 2, row_chunk // 2
+        k2 = KTAP * KTAP * S2D_C
+        win_m = win.reshape(row_chunk, wp, 2 * k2)  # cols 2c | 2c+1
+        acc = _dot_i8(win_m.reshape(row_chunk * wp, 2 * k2), w_ref[:])
+        zm = jnp.maximum(acc.astype(jnp.float32) * a_row + b_row, 0.0)
+        # zm [rc*wp, 128] f32 >= 0; lanes = [col 2c | col 2c+1]
+        pend = []
+        for i in range(pc):
+            re_ = zm[(2 * i) * wp:(2 * i + 1) * wp]      # conv row 2p
+            ro = zm[(2 * i + 1) * wp:(2 * i + 2) * wp]   # conv row 2p+1
+            if i > 0:
+                prev = zm[(2 * i - 1) * wp:(2 * i) * wp]  # conv row 2p-1
+            elif r0 == 0:
+                prev = jnp.full((wp, 2 * COUT), -1.0, jnp.float32)
+            else:
+                prev = carry[0]
+            rmax = jnp.maximum(jnp.maximum(re_, ro), prev)  # [wp, 128]
+            rm_prev = jnp.concatenate(
+                [jnp.full((1, 2 * COUT), -1.0, jnp.float32), rmax[:-1]], axis=0)
+            e_col, o_col = rmax[:, :COUT], rmax[:, COUT:]   # cols 2c | 2c+1
+            pool_row = _clip8(jnp.maximum(
+                jnp.maximum(e_col, o_col), rm_prev[:, COUT:]))  # [wp, 64]
+            p = r0 // 2 + i
+            if not emit_merged:
+                out_ref[0, p] = pool_row
+            elif p % 2 == 0:
+                pend.append(pool_row)
+            else:
+                out_ref[0, p // 2] = jnp.concatenate([pend.pop(), pool_row], axis=-1)
+        carry[0] = zm[(row_chunk - 1) * wp:]
 
 
 def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
+               pool: bool = False, emit_merged: bool = False,
                interpret: bool = False):
     """int8 s2d stem conv: [B, 256, 256, 16] uint8 -> [B, 256, 256, 64] int8.
 
@@ -105,43 +160,76 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
     u8 - 128 conversion runs inside the kernel);
     w2d/a/b/padvec from nn/resnet_int8.quantize_stem_s2d (a/b include BN
     fold and the output requant scale; relu commutes with the positive
-    scale).  The 3x3/2 maxpool runs in XLA on the int8 output.
+    scale).
+
+    pool=False: returns the conv output; the 3x3/2 maxpool runs in XLA.
+    pool=True: the 3x3/2 stride-2 maxpool (pad 1 — reference resnet50
+    stem) is fused into the kernel epilogue and the full-res conv output
+    never touches HBM: returns [B, hs/2, ws/2, 64] int8 directly
+    (bit-identical to pool=False + reduce_window; tests/test_quant.py).
+    emit_merged=True (requires pool): pool rows leave the kernel ROW-pair
+    lane-merged as [B, hs/4, ws/2, 128] (row 2q in lanes :64, row 2q+1 in
+    64:), feeding the merged stage-1 bottleneck kernels with no XLA
+    relayout in between.
     """
     bsz, hs, ws, c = xs2d.shape
     assert c == S2D_C and w2d.shape == (KTAP * KTAP * S2D_C, COUT)
     assert xs2d.dtype == jnp.uint8, xs2d.dtype
-    while hs % row_chunk:
+    assert not (emit_merged and not pool)
+    while hs % row_chunk or (pool and row_chunk % (4 if emit_merged else 2)):
         row_chunk //= 2
-    assert row_chunk >= 1
+    assert row_chunk >= 1 and not (pool and (hs % 2 or ws % 2))
 
+    if pool:
+        # column-pair dot: block-diag weights produce [col 2c | 2c+1] lanes
+        w2d = jnp.kron(jnp.eye(2, dtype=w2d.dtype), w2d)  # [2K, 128]
+        tile2 = lambda v: jnp.tile(jnp.asarray(v, jnp.float32).reshape(-1), 2)
+        a, b = tile2(a), tile2(b)
     scales = jnp.stack([
         jnp.asarray(a, jnp.float32).reshape(-1),
         jnp.asarray(b, jnp.float32).reshape(-1),
-    ])  # [2, 64]
+    ])  # [2, 64 or 128]
     pad2d = jnp.asarray(padvec, jnp.int8).reshape(1, S2D_C)
 
-    kern = functools.partial(_qstem_kernel, hs=hs, ws=ws, row_chunk=row_chunk)
+    kern = functools.partial(_qstem_kernel, hs=hs, ws=ws, row_chunk=row_chunk,
+                             pool=pool, emit_merged=emit_merged)
     whole = lambda *shape: pl.BlockSpec(shape, lambda bi: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    if pool:
+        hp, wp = hs // 2, ws // 2
+        oh, oc = (hp // 2, 2 * COUT) if emit_merged else (hp, COUT)
+        out_spec = pl.BlockSpec((1, oh, wp, oc), lambda bi: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((bsz, oh, wp, oc), jnp.int8)
+        scratch = [pltpu.VMEM((1, wp, 2 * COUT), jnp.float32)]  # last-row carry
+        out_bytes = bsz * hp * wp * COUT
+    else:
+        out_spec = pl.BlockSpec((1, hs * ws, COUT), lambda bi: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((bsz, hs * ws, COUT), jnp.int8)
+        scratch = []
+        out_bytes = bsz * hs * ws * COUT
     out = pl.pallas_call(
         kern,
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, hs, ws, c), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            whole(KTAP * KTAP * S2D_C, COUT),
-            whole(2, COUT),
+            whole(*w2d.shape),
+            whole(*scales.shape),
             whole(1, S2D_C),
         ],
-        out_specs=pl.BlockSpec((1, hs * ws, COUT), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, hs * ws, COUT), jnp.int8),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * hs * ws * KTAP * KTAP * S2D_C * COUT,
-            bytes_accessed=xs2d.size + bsz * hs * ws * COUT,
+            bytes_accessed=xs2d.size + out_bytes,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(xs2d, w2d, scales, pad2d)
+    if pool:
+        return out
     return out.reshape(bsz, hs, ws, COUT)

@@ -95,12 +95,14 @@ def decode_detections(
     cls_class = jnp.argmax(cls_p, axis=-1).astype(jnp.int32) + 1  # 1-based
     score = jnp.sqrt(cls_score * cnt_p[..., 0])
 
-    boxes = ltrb_to_boxes(coords, reg_preds)  # [B, N, 4]
-
     k = min(max_detections, score.shape[-1])
     top_scores, top_idx = jax.lax.top_k(score, k)  # sorted descending
     top_classes = jnp.take_along_axis(cls_class, top_idx, axis=1)
-    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    # decode boxes AFTER the top-k gather: ltrb->xyxy runs on [B, K] rows
+    # instead of all [B, N] grid points (N/K ~ 5.5x at 512^2)
+    top_reg = jnp.take_along_axis(reg_preds, top_idx[..., None], axis=1)
+    top_coords = jnp.take(coords, top_idx, axis=0)  # [B, K, 2]
+    top_boxes = ltrb_to_boxes(top_coords, top_reg)
 
     if image_hw is not None:
         top_boxes = clip_boxes(top_boxes, image_hw[0], image_hw[1])

@@ -83,6 +83,49 @@ def test_qbottleneck_interpret_exact_identity_and_projection():
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(want2))
 
 
+def test_qbottleneck_merged_bit_exact():
+    """Row-pair lane-merged bottleneck == the canonical kernel bit-wise
+    (identity and projection shortcuts), and the merged stride-2 block
+    consumes the merged layout directly.  Block-diag weights keep the
+    integer math identical; only the lane occupancy changes."""
+    from pytorch_object_detection_tpu.ops.pallas_qblock import (
+        qbottleneck,
+        qbottleneck_s2,
+        row_pair_merge,
+        row_pair_split,
+    )
+
+    rng = np.random.RandomState(7)
+    B, H, W, Cin, Cw = 2, 8, 16, 32, 16
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, Cin)).astype(np.int8))
+    xm = row_pair_merge(x)
+    np.testing.assert_array_equal(np.asarray(row_pair_split(xm)), np.asarray(x))
+    w1, w2, w3, a1, b1, a2, b2, a3, b3 = _rand_qblock(rng, Cin, Cw, Cin)
+
+    base = qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                       short_mul=0.5, row_chunk=4, interpret=True)
+    got = qbottleneck(xm, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                      short_mul=0.5, row_chunk=4, merged=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(row_pair_split(got)), np.asarray(base))
+
+    wd = jnp.asarray(rng.randint(-16, 16, (Cin, Cin)).astype(np.int8))
+    ad = jnp.asarray(np.abs(rng.randn(Cin)).astype(np.float32) * 1e-3)
+    bd = jnp.asarray(rng.randn(Cin).astype(np.float32) * 0.1)
+    base2 = qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                        wd=wd, ad=ad, bd=bd, row_chunk=4, interpret=True)
+    got2 = qbottleneck(xm, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                       wd=wd, ad=ad, bd=bd, row_chunk=4, merged=True,
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(row_pair_split(got2)), np.asarray(base2))
+
+    # stride-2 consumer: merged_in == canonical input, canonical output
+    base3 = qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd,
+                           row_chunk=2, interpret=True)
+    got3 = qbottleneck_s2(xm, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd,
+                          row_chunk=2, merged_in=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got3), np.asarray(base3))
+
+
 def test_qmatmul_interpret_matches_reference():
     from pytorch_object_detection_tpu.ops.pallas_qconv import qmatmul
 
@@ -521,6 +564,34 @@ def test_u8_s2d_stem_exact_and_kernel_matches_oracle():
     kp = jax.lax.reduce_window(kern, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
                                (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
     np.testing.assert_array_equal(np.asarray(kp), np.asarray(oracle))
+
+    # pool=True fuses the 3x3/2 maxpool into the kernel epilogue —
+    # must be bit-identical to conv kernel + XLA reduce_window
+    fused = qstem_conv(xs, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                       q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                       pool=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(kp))
+
+    # multi-chunk (row_chunk < hs) exercises the cross-chunk pool carry
+    # and the pad rows of later chunks (regression: the pool epilogue once
+    # clobbered the pad-row binding, crashing every multi-chunk call —
+    # i.e. every real 512^2 image)
+    fused_mc = qstem_conv(xs, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                          q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                          pool=True, row_chunk=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused_mc), np.asarray(kp))
+
+    # emit_merged: pool rows leave row-pair lane-merged for stage 1
+    from pytorch_object_detection_tpu.ops.pallas_qblock import row_pair_split
+
+    fm = qstem_conv(xs, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                    q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                    pool=True, emit_merged=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(row_pair_split(fm)), np.asarray(kp))
+    fm_mc = qstem_conv(xs, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                       q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                       pool=True, emit_merged=True, row_chunk=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(row_pair_split(fm_mc)), np.asarray(kp))
 
 
 def test_u8_input_full_int8_forward():
