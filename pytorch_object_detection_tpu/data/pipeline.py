@@ -44,6 +44,7 @@ class Batch(NamedTuple):
     content_w: np.ndarray  # i32 [B]
     image_ids: List[str]
     n_valid: int = -1  # real samples in the batch (-1 = all; see pad_last)
+    content_h: Optional[np.ndarray] = None  # i32 [B] (device-resize path)
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +149,69 @@ def make_device_preprocess(
     return jax.jit(fn)
 
 
+def make_device_resize(canvas_hw: Tuple[int, int]):
+    """Batched ON-DEVICE aspect-preserving resize onto the fixed canvas.
+
+    Completes the north-star device pipeline (decode -> resize -> flip ->
+    normalize on device): the host only JPEG-decodes into a fixed uint8
+    tile (image at top-left, last row/col REPLICATED once past the content
+    so linear sampling beyond the edge matches cv2's clamp — see
+    VOCDataset(raw_tiles=True)), and this program does the per-image
+    dynamic-scale resize the host cv2 call used to do
+    (reference dataset/voc.py:110-139; host version resize_to_canvas).
+
+    Shapes are static (tile in, canvas out); the per-image scale is DATA
+    (jax.image.scale_and_translate), so one compiled program serves every
+    image size.  On TPU the separable linear resample lowers to two
+    batched matmuls (MXU), not gathers.
+
+    Returns jitted ``fn(tiles_u8 [B,TH,TW,3], src_hw [B,2] i32) ->
+    (canvas_u8 [B,ch,cw,3], scale [B] f32, content_hw [B,2] i32)``.
+    """
+    ch, cw = canvas_hw
+
+    def one(img_u8, hw):
+        h = hw[0].astype(jnp.float32)
+        w = hw[1].astype(jnp.float32)
+        scale = jnp.minimum(ch / h, cw / w)
+        nh = jnp.round(h * scale)
+        nw = jnp.round(w * scale)
+        sy, sx = nh / h, nw / w  # cv2 uses the post-rounding factors
+        # scale_and_translate samples input coord (o + 0.5 - t)/s - 0.5:
+        # t = 0 IS the cv2 half-pixel-centers mapping
+        out = jax.image.scale_and_translate(
+            img_u8.astype(jnp.float32), (ch, cw, 3), (0, 1),
+            jnp.stack([sy, sx]), jnp.zeros(2),
+            method="linear", antialias=False,
+        )
+        rows = jnp.arange(ch)[:, None, None]
+        cols = jnp.arange(cw)[None, :, None]
+        out = jnp.where((rows < nh) & (cols < nw), out, 0.0)
+        out_u8 = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+        return out_u8, scale, jnp.stack([nh, nw]).astype(jnp.int32)
+
+    return jax.jit(jax.vmap(one))
+
+
+def decode_to_tile(image: np.ndarray, tile_hw: Tuple[int, int]) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Place a decoded image into a fixed uint8 tile (top-left), replicating
+    the last content row/col once so device-side linear resampling past the
+    edge sees cv2's clamp semantics.  Images larger than the tile are
+    center-cropped to it (rare; tile should bound the dataset)."""
+    th, tw = tile_hw
+    h, w = image.shape[:2]
+    if h > th or w > tw:
+        image = image[:th, :tw]
+        h, w = image.shape[:2]
+    tile = np.zeros((th, tw, 3), np.uint8)
+    tile[:h, :w] = image
+    if h < th:
+        tile[h, :w] = image[h - 1, :w]
+    if w < tw:
+        tile[: min(h + 1, th), w] = tile[: min(h + 1, th), w - 1]
+    return tile, (h, w)
+
+
 # ---------------------------------------------------------------------------
 # host-side loader
 # ---------------------------------------------------------------------------
@@ -218,6 +282,7 @@ class DetectionLoader:
         labels = np.full((b, self.max_boxes), -1, np.int32)
         scales = np.zeros((b,), np.float32)
         content_w = np.zeros((b,), np.int32)
+        content_h = np.zeros((b,), np.int32)
         ids = []
         for i, s in enumerate(samples):
             images[i] = s.image
@@ -227,8 +292,10 @@ class DetectionLoader:
                 labels[i, :n] = s.labels[:n]
             scales[i] = s.scale
             content_w[i] = s.content_hw[1] or w
+            content_h[i] = s.content_hw[0] or h
             ids.append(s.image_id)
-        return Batch(images, boxes, labels, scales, content_w, ids, n_real)
+        return Batch(images, boxes, labels, scales, content_w, ids, n_real,
+                     content_h)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         from concurrent.futures import ThreadPoolExecutor

@@ -99,12 +99,23 @@ class VOCDataset:
         canvas_hw: Tuple[int, int] = (512, 512),
         use_difficult: bool = False,
         augment=None,
+        raw_tiles: bool = False,
+        tile_hw: Optional[Tuple[int, int]] = None,
     ):
+        """``raw_tiles=True``: skip the host cv2 resize — samples carry the
+        decoded image in a fixed uint8 tile (edge-replicated, see
+        data/pipeline.decode_to_tile) with content_hw = the TRUE (h, w);
+        the aspect-preserving resize then runs batched ON DEVICE
+        (data/pipeline.make_device_resize).  Boxes are still host-scaled to
+        canvas coordinates (the scale is pure arithmetic — no image work).
+        """
         if isinstance(root_dirs, (str, os.PathLike)):
             root_dirs = [root_dirs]
         self.canvas_hw = canvas_hw
         self.use_difficult = use_difficult
         self.augment = augment
+        self.raw_tiles = raw_tiles
+        self.tile_hw = tile_hw or (canvas_hw[0], canvas_hw[1])
         self.items: List[Tuple[str, str]] = []  # (root, image_id)
         for root in root_dirs:
             listing = os.path.join(root, "ImageSets", "Main", f"{split}.txt")
@@ -126,5 +137,13 @@ class VOCDataset:
         )
         if self.augment is not None:
             img, boxes = self.augment(img, boxes)
+        if self.raw_tiles:
+            from pytorch_object_detection_tpu.data.pipeline import decode_to_tile
+
+            tile, (h, w) = decode_to_tile(img, self.tile_hw)
+            scale = min(self.canvas_hw[0] / h, self.canvas_hw[1] / w)
+            if boxes.size:
+                boxes = boxes * scale
+            return Sample(tile, boxes, labels, scale, img_id, (h, w))
         canvas, boxes, scale, content_hw = resize_to_canvas(img, boxes, self.canvas_hw)
         return Sample(canvas, boxes, labels, scale, img_id, content_hw)

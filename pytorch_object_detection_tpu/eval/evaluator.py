@@ -38,30 +38,52 @@ def make_eval_pipeline(
     compute_dtype=jnp.bfloat16,
     mean=None,
     std=None,
+    device_resize: bool = False,
 ):
-    """One jitted program: normalize -> forward -> decode -> NMS."""
-    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    """One jitted program: [resize ->] normalize -> forward -> decode -> NMS.
+
+    ``device_resize=True`` completes the north-star device input pipeline:
+    the program takes RAW decoded tiles + per-image (h, w) (dataset built
+    with ``raw_tiles=True``) and performs the aspect-preserving resize on
+    device (data/pipeline.make_device_resize) before normalize+forward.
+    The pipeline then has signature ``(params, stats, tiles_u8, src_hw)``.
+    """
+    from pytorch_object_detection_tpu.data.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        make_device_resize,
+    )
 
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
     fwd = make_eval_forward(model, compute_dtype)
+    resize = make_device_resize(canvas_hw) if device_resize else None
 
-    @jax.jit
-    def pipeline(params, batch_stats, images_u8):
+    def body(params, batch_stats, images_u8):
         x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
         cls_l, cnt_l, reg_l = fwd(params, batch_stats, x)
         return decode_detections(
             cls_l, cnt_l, reg_l, strides, score_threshold, nms_iou, max_detections, canvas_hw
         )
 
+    if device_resize:
+        @jax.jit
+        def pipeline(params, batch_stats, tiles_u8, src_hw):
+            canvas_u8, _, _ = resize(tiles_u8, src_hw)
+            return body(params, batch_stats, canvas_u8)
+    else:
+        pipeline = jax.jit(body)
+
     return pipeline
 
 
-def _run_pipeline(pipeline, params, batch_stats, images, mesh=None):
+def _run_pipeline(pipeline, params, batch_stats, images, mesh=None, src_hw=None):
     """Run the jitted pipeline, optionally with the batch sharded over the
     mesh's data axis (the loader pads the last batch, so every batch shards
-    evenly and there is exactly one compiled program)."""
+    evenly and there is exactly one compiled program).  ``src_hw`` rides
+    along for device-resize pipelines (raw-tile input)."""
     x = jnp.asarray(images)
+    extra = () if src_hw is None else (jnp.asarray(src_hw),)
     if mesh is not None:
         from pytorch_object_detection_tpu.parallel.mesh import batch_sharding
 
@@ -70,8 +92,9 @@ def _run_pipeline(pipeline, params, batch_stats, images, mesh=None):
         )
         with mesh:
             x = jax.device_put(x, batch_sharding(mesh))
-            return pipeline(params, batch_stats, x)
-    return pipeline(params, batch_stats, x)
+            extra = tuple(jax.device_put(e, batch_sharding(mesh)) for e in extra)
+            return pipeline(params, batch_stats, x, *extra)
+    return pipeline(params, batch_stats, x, *extra)
 
 
 def _collect(det, scales, n_valid: int = -1):
@@ -109,6 +132,7 @@ def make_eval_pipeline_int8(
     int8_fpn: bool = True,
     int8_head: bool = True,
     mesh=None,
+    device_resize: bool = False,
 ):
     """int8-PTQ serving pipeline: calibrated int8 backbone + HisFPN + head
     through the fused Pallas kernels + on-device decode/NMS.
@@ -124,6 +148,12 @@ def make_eval_pipeline_int8(
     in ``jax.shard_map`` over the batch axis — each device runs the fused
     kernels on its local shard (the DDP-serving counterpart of the
     reference's single-GPU eval loop, test.py:198-223).
+
+    ``device_resize=True``: the pipeline takes RAW decoded uint8 tiles +
+    per-image (h, w) (dataset built with ``raw_tiles=True``) and performs
+    the aspect-preserving resize batched on device before the stem —
+    signature becomes ``(params, batch_stats, tiles_u8, src_hw)``.
+    ``calib_images`` must still be normalized CANVAS images.
     """
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
@@ -152,7 +182,7 @@ def make_eval_pipeline_int8(
     fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn,
                                  int8_head=int8_head, u8_input=u8_input)
 
-    def inner(qtree, params, batch_stats, images_u8):
+    def body(qtree, params, batch_stats, images_u8):
         if u8_input:
             x = images_u8  # raw uint8: normalize folded into the stem
         else:
@@ -163,14 +193,26 @@ def make_eval_pipeline_int8(
             max_detections, canvas_hw, nms_impl=nms_impl,
         )
 
+    if device_resize:
+        from pytorch_object_detection_tpu.data.pipeline import make_device_resize
+
+        resize = make_device_resize(canvas_hw)
+
+        def inner(qtree, params, batch_stats, tiles_u8, src_hw):
+            canvas_u8, _, _ = resize(tiles_u8, src_hw)
+            return body(qtree, params, batch_stats, canvas_u8)
+    else:
+        inner = body
+
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
         from pytorch_object_detection_tpu.parallel.mesh import DATA_AXIS
 
+        data_args = 2 if device_resize else 1
         inner = jax.shard_map(
             inner, mesh=mesh,
-            in_specs=(P(), P(), P(), P(DATA_AXIS)),
+            in_specs=(P(), P(), P()) + (P(DATA_AXIS),) * data_args,
             out_specs=P(DATA_AXIS),
             check_vma=False,
         )
@@ -178,8 +220,8 @@ def make_eval_pipeline_int8(
     # make XLA constant-fold through the remote-compile tunnel (PERF.md)
     jitted = jax.jit(inner)
 
-    def pipeline(params, batch_stats, images_u8):
-        return jitted(qtree, params, batch_stats, images_u8)
+    def pipeline(params, batch_stats, images_u8, *extra):
+        return jitted(qtree, params, batch_stats, images_u8, *extra)
 
     return pipeline
 
@@ -207,9 +249,12 @@ def collect_voc_predictions(
         dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers,
         pad_last=True, process_count=process_count, process_index=process_index,
     )
+    raw_tiles = bool(getattr(dataset, "raw_tiles", False))
     gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, ids = [], [], [], [], [], []
     for batch in loader:
-        det = _run_pipeline(pipeline, params, batch_stats, batch.images, mesh)
+        src_hw = (np.stack([batch.content_h, batch.content_w], 1).astype(np.int32)
+                  if raw_tiles else None)
+        det = _run_pipeline(pipeline, params, batch_stats, batch.images, mesh, src_hw)
         for i, (b, c, s) in enumerate(_collect(det, batch.scales, batch.n_valid)):
             gt_valid = batch.labels[i] > 0
             gt_boxes.append(batch.boxes[i][gt_valid] / batch.scales[i])
@@ -252,7 +297,8 @@ def evaluate_voc(
     canvas_hw = dataset.canvas_hw
     if pipeline is None:
         pipeline = make_eval_pipeline(
-            model, strides, canvas_hw, score_threshold, nms_iou, max_detections
+            model, strides, canvas_hw, score_threshold, nms_iou, max_detections,
+            device_resize=bool(getattr(dataset, "raw_tiles", False)),
         )
     t0 = time.perf_counter()
     gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, _ids = collect_voc_predictions(

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve through the int8-PTQ backbone (fused Pallas "
                          "kernels); calibrates on the first eval batch")
+    ap.add_argument("--device-resize", action="store_true",
+                    help="north-star input pipeline: host only JPEG-decodes "
+                         "into fixed uint8 tiles; the aspect-preserving "
+                         "resize runs batched ON DEVICE inside the eval "
+                         "program (data/pipeline.make_device_resize)")
     args = ap.parse_args()
 
     from pytorch_object_detection_tpu.core import config as C
@@ -49,7 +54,8 @@ def main():
         state = ckpt.restore_checkpoint(args.checkpoint, state)
 
     ds_root = cfg["dataset_setting"].get("test_07", cfg["dataset_setting"].get("train_07"))
-    dataset = VOCDataset([ds_root], args.split, canvas)
+    dataset = VOCDataset([ds_root], args.split, canvas,
+                         raw_tiles=args.device_resize)
     eval_cfg = block.get("eval", {})  # optional overrides of the reference defaults
     pipeline = None
     if args.int8:
@@ -63,8 +69,12 @@ def main():
         )
         from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
 
+        # calibration always uses host-resized CANVAS images (the raw-tile
+        # dataset carries unresized tiles, the wrong distribution)
+        calib_ds = (VOCDataset([ds_root], args.split, canvas)
+                    if args.device_resize else dataset)
         calib_batch = next(iter(DetectionLoader(
-            dataset, min(args.batch_size, 8), shuffle=False, drop_last=False, num_workers=2)))
+            calib_ds, min(args.batch_size, 8), shuffle=False, drop_last=False, num_workers=2)))
         calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         pipeline = make_eval_pipeline_int8(
@@ -75,6 +85,7 @@ def main():
             max_detections=int(eval_cfg.get("max_detections", 1000)),
             nms_impl="auto",
             backend="xla" if os.environ.get("PODT_FORCE_CPU") else "pallas_block",
+            device_resize=args.device_resize,
         )
     evaluate_voc(
         model, state.params, state.batch_stats, dataset,

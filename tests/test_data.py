@@ -66,7 +66,7 @@ def test_loader_static_shapes(tmp_path):
     loader = DetectionLoader(ds, batch_size=2, max_boxes=16, num_workers=2, drop_last=False)
     batches = list(loader)
     assert len(batches) == 2
-    images, boxes, labels, scales, content_w, image_ids, n_valid = batches[0]
+    images, boxes, labels, scales, content_w, image_ids, n_valid, _content_h = batches[0]
     assert n_valid == 2
     assert set(image_ids) <= {"img000", "img001", "img002"}  # loader shuffles
     assert images.shape == (2, 256, 256, 3) and images.dtype == np.uint8
@@ -162,3 +162,42 @@ def test_pad_last_pads_batch_and_reports_n_valid(tmp_path):
     assert [b.n_valid for b in batches] == [2, 1]
     # padding row duplicates the last real sample
     np.testing.assert_array_equal(batches[1].images[1], batches[1].images[0])
+
+
+def test_device_resize_matches_cv2_contract():
+    """Device-side batched resize (scale_and_translate, half-pixel, edge
+    replicated) tracks the host cv2 resize within the interpolation
+    contract: identical scale/content geometry, pixel deltas bounded by
+    cv2's fixed-point rounding (<= 2 u8 LSB)."""
+    import jax.numpy as jnp
+
+    from pytorch_object_detection_tpu.data.pipeline import (
+        decode_to_tile,
+        make_device_resize,
+    )
+    from pytorch_object_detection_tpu.data.voc import resize_to_canvas
+
+    rng = np.random.default_rng(3)
+    canvas = (128, 128)
+    tile_hw = (160, 160)
+    sizes = [(100, 150), (160, 90), (128, 128), (37, 61)]
+    tiles, hws, want_imgs, want_scales, want_hw = [], [], [], [], []
+    for h, w in sizes:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        t, hw = decode_to_tile(img, tile_hw)
+        tiles.append(t)
+        hws.append(hw)
+        c, _, s, chw = resize_to_canvas(img, None, canvas)
+        want_imgs.append(c)
+        want_scales.append(s)
+        want_hw.append(chw)
+
+    fn = make_device_resize(canvas)
+    got, scales, content = fn(jnp.asarray(np.stack(tiles)), jnp.asarray(np.asarray(hws, np.int32)))
+    got = np.asarray(got)
+    for i in range(len(sizes)):
+        np.testing.assert_allclose(float(scales[i]), want_scales[i], rtol=1e-6)
+        assert tuple(np.asarray(content[i])) == want_hw[i], (i, content[i], want_hw[i])
+        d = np.abs(got[i].astype(np.int32) - want_imgs[i].astype(np.int32))
+        assert d.max() <= 2, (i, d.max(), sizes[i])
+        assert d.mean() < 0.5, (i, d.mean())

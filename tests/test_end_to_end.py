@@ -426,3 +426,52 @@ def test_data_parallel_int8_serving_matches_single(tmp_path):
                       pipeline=pipe8, mesh=mesh)
     assert r8["num_images"] == r1["num_images"] == 8
     np.testing.assert_allclose(r8["mAP"], r1["mAP"], atol=1e-6)
+
+
+def test_device_resize_eval_pipeline(tmp_path):
+    """North-star device input pipeline end-to-end: raw decoded tiles +
+    on-device resize through eval produces the same geometry (image count,
+    unscaled GT) and a mAP close to the host-cv2-resize path (inputs agree
+    within the interpolation tolerance; random-weight scores may reorder a
+    few near-threshold detections)."""
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root, n=4)
+    ds_host = VOCDataset(root, "trainval", canvas_hw=HW)
+    ds_dev = VOCDataset(root, "trainval", canvas_hw=HW, raw_tiles=True)
+    assert ds_dev[0].image.shape == (*HW, 3)
+    assert ds_dev[0].content_hw[0] <= HW[0]
+
+    model = HISFCOS(num_classes=20, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *HW, 3))
+    r_host = evaluate_voc(model, state.params, state.batch_stats, ds_host,
+                          strides=STRIDES, batch_size=4, num_workers=2, verbose=False)
+    r_dev = evaluate_voc(model, state.params, state.batch_stats, ds_dev,
+                         strides=STRIDES, batch_size=4, num_workers=2, verbose=False)
+    assert r_dev["num_images"] == r_host["num_images"] == 4
+    assert np.isfinite(r_dev["mAP"])
+    np.testing.assert_allclose(r_dev["mAP"], r_host["mAP"], atol=0.05)
+
+    # int8 serving pipeline with the device-resize front (the full
+    # north-star serving program: resize -> s2d stem -> int8 chain ->
+    # decode/NMS in ONE jitted program); calibration on canvas images
+    from pytorch_object_detection_tpu.data.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        DetectionLoader,
+    )
+    from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
+
+    calib_batch = next(iter(DetectionLoader(ds_host, 4, shuffle=False,
+                                            drop_last=False, num_workers=2)))
+    calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
+             - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    pipe8 = make_eval_pipeline_int8(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        calib, STRIDES, HW, nms_impl="fixpoint", backend="xla",
+        device_resize=True,
+    )
+    r8 = evaluate_voc(model, state.params, state.batch_stats, ds_dev,
+                      strides=STRIDES, batch_size=4, num_workers=2,
+                      verbose=False, pipeline=pipe8)
+    assert r8["num_images"] == 4
+    assert np.isfinite(r8["mAP"])
