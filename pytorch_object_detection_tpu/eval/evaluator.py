@@ -156,7 +156,7 @@ def make_eval_pipeline_int8(
     ``calib_images`` must still be normalized CANVAS images.
     """
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
-    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.models.fcos import FCOS, HISFCOS
     from pytorch_object_detection_tpu.train.trainer import (
         make_eval_forward_int8,
         quantize_backbone,
@@ -164,7 +164,8 @@ def make_eval_pipeline_int8(
         quantize_head,
     )
 
-    int8_fpn = int8_fpn and isinstance(model, HISFCOS)
+    int8_fpn = (int8_fpn and isinstance(model, (HISFCOS, FCOS))
+                and getattr(model, "backbone", "resnet50") == "resnet50")
     int8_head = int8_head and int8_fpn
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)

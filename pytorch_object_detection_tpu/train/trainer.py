@@ -392,17 +392,17 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
 
 def quantize_fpn(model, variables, qtree_bb, calib_images,
                  compute_dtype=jnp.bfloat16):
-    """PTQ the HisFPN of a HISFCOS detector (extends :func:`quantize_backbone`).
+    """PTQ the FPN of a FCOS-family detector (extends
+    :func:`quantize_backbone`).  Dispatches on the model: HISFCOS ->
+    HisFPN ladder (nn/fpn_int8.py), classic FCOS -> classic-FPN ladder
+    (models/fcos_int8.py).
 
     Calibrates FPN activation scales on the int8 backbone's (dequantized)
     features — the distribution the quantized FPN actually sees at serving
     time — and returns the FPN qtree for
     ``make_eval_forward_int8(..., int8_fpn=True)``.
     """
-    from pytorch_object_detection_tpu.nn.fpn_int8 import (
-        calibrate_hisfpn,
-        quantize_hisfpn,
-    )
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
     from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
 
     feats_q, scales = jax.jit(
@@ -410,40 +410,78 @@ def quantize_fpn(model, variables, qtree_bb, calib_images,
                           backend="xla", dequant=False)
     )(qtree_bb, calib_images)
     feats = tuple(q.astype(jnp.float32) * s for q, s in zip(feats_q, scales))
-    taps = jax.jit(calibrate_hisfpn)(
-        variables["params"]["fpn"], variables["batch_stats"]["fpn"], feats
+    if isinstance(model, HISFCOS):
+        from pytorch_object_detection_tpu.nn.fpn_int8 import (
+            calibrate_hisfpn,
+            quantize_hisfpn,
+        )
+
+        taps = jax.jit(calibrate_hisfpn)(
+            variables["params"]["fpn"], variables["batch_stats"]["fpn"], feats
+        )
+        taps = {k: float(v) for k, v in taps.items()}
+        return jax.jit(quantize_hisfpn)(
+            variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps, scales
+        )
+    from pytorch_object_detection_tpu.models.fcos_int8 import (
+        calibrate_fpn_classic,
+        quantize_fpn_classic,
     )
+
+    taps = jax.jit(calibrate_fpn_classic)(variables["params"]["fpn"], feats)
     taps = {k: float(v) for k, v in taps.items()}
-    return jax.jit(quantize_hisfpn)(
-        variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps, scales
+    return jax.jit(quantize_fpn_classic)(
+        variables["params"]["fpn"], taps, scales
     )
 
 
 def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
                   compute_dtype=jnp.bfloat16):
-    """PTQ the HISHead (extends quantize_backbone/quantize_fpn through the
-    whole detector).  Calibrates per-level activation scales on the int8
-    FPN's (dequantized) levels and returns the head qtree for
+    """PTQ the head (extends quantize_backbone/quantize_fpn through the
+    whole detector); dispatches HISFCOS -> HISHead ladder, classic FCOS ->
+    4-conv-tower ladder.  Calibrates per-level activation scales on the
+    int8 FPN's (dequantized) levels and returns the head qtree for
     ``make_eval_forward_int8(..., int8_head=True)``."""
-    from pytorch_object_detection_tpu.models.head_int8 import (
-        calibrate_hishead,
-        quantize_hishead,
-    )
-    from pytorch_object_detection_tpu.nn.fpn_int8 import hisfpn_int8_forward
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS
     from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
+
+    is_his = isinstance(model, HISFCOS)
+    if is_his:
+        from pytorch_object_detection_tpu.nn.fpn_int8 import hisfpn_int8_forward as fpn_fwd
+    else:
+        from pytorch_object_detection_tpu.models.fcos_int8 import (
+            fpn_classic_int8_forward,
+        )
+
+        fpn_fwd = lambda qt, fq, **kw: fpn_classic_int8_forward(qt, fq, **kw)
 
     @jax.jit
     def levels_of(images):
         feats_q, _ = resnet50_int8_forward(qtree_bb, images, jnp.float32,
                                            backend="xla", dequant=False)
-        lq, sc = hisfpn_int8_forward(qtree_fpn, feats_q, backend="xla", dequant=False)
+        lq, sc = fpn_fwd(qtree_fpn, feats_q, dequant=False)
         return tuple(q.astype(jnp.float32) * s for q, s in zip(lq, sc)), sc
 
     levels, level_scales = levels_of(calib_images)
-    taps = jax.jit(calibrate_hishead)(variables["params"]["head"], levels)
+    if is_his:
+        from pytorch_object_detection_tpu.models.head_int8 import (
+            calibrate_hishead,
+            quantize_hishead,
+        )
+
+        taps = jax.jit(calibrate_hishead)(variables["params"]["head"], levels)
+        taps = {k: float(v) for k, v in taps.items()}
+        return quantize_hishead(variables["params"]["head"], taps, level_scales,
+                                model.num_classes)
+    from pytorch_object_detection_tpu.models.fcos_int8 import (
+        calibrate_fcoshead,
+        quantize_fcoshead,
+    )
+
+    taps = jax.jit(calibrate_fcoshead)(variables["params"]["head"], levels)
     taps = {k: float(v) for k, v in taps.items()}
-    return quantize_hishead(variables["params"]["head"], taps, level_scales,
-                            model.num_classes)
+    return quantize_fcoshead(variables["params"]["head"], taps, level_scales,
+                             model.num_classes)
 
 
 def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
@@ -485,16 +523,36 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
         from pytorch_object_detection_tpu.nn.layers import pallas_gn
 
         if int8_fpn:
-            from pytorch_object_detection_tpu.nn.fpn_int8 import hisfpn_int8_forward
+            from pytorch_object_detection_tpu.models.fcos import HISFCOS as _HISF
 
+            is_his = isinstance(model, _HISF)
             sub = "pallas" if backend != "xla" else "xla"
             feats_q, _ = resnet50_int8_forward(
                 qtree["backbone"], images, compute_dtype, backend=backend,
                 fuse_strided=fuse_strided, dequant=False, u8_stem=u8_input,
             )
-            if int8_head:
+            if not is_his:
+                # classic FCOS ladder (models/fcos_int8.py; XLA int8 convs)
+                from pytorch_object_detection_tpu.models.fcos_int8 import (
+                    fcoshead_int8_forward,
+                    fpn_classic_int8_forward,
+                )
+
+                if int8_head:
+                    levels_q, _ = fpn_classic_int8_forward(
+                        qtree["fpn"], feats_q, dequant=False
+                    )
+                    return fcoshead_int8_forward(qtree["head"], levels_q,
+                                                 num_classes=model.num_classes)
+                levels = fpn_classic_int8_forward(
+                    qtree["fpn"], feats_q, compute_dtype
+                )
+            elif int8_head:
                 from pytorch_object_detection_tpu.models.head_int8 import (
                     hishead_int8_forward,
+                )
+                from pytorch_object_detection_tpu.nn.fpn_int8 import (
+                    hisfpn_int8_forward,
                 )
 
                 levels_q, _ = hisfpn_int8_forward(
@@ -505,9 +563,14 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                     num_classes=model.num_classes,
                 )
                 return cls_l, cnt_l, reg_l
-            levels = hisfpn_int8_forward(
-                qtree["fpn"], feats_q, compute_dtype, backend=sub,
-            )
+            else:
+                from pytorch_object_detection_tpu.nn.fpn_int8 import (
+                    hisfpn_int8_forward,
+                )
+
+                levels = hisfpn_int8_forward(
+                    qtree["fpn"], feats_q, compute_dtype, backend=sub,
+                )
             head_vars = {"params": _cast_tree(params["head"], compute_dtype)}
             try:
                 cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)

@@ -634,3 +634,90 @@ def test_u8_input_full_int8_forward():
             # layers; cnt (near-zero-mean on random init) is the harshest
             # cosine — the trained-weights AP test is the accuracy gate
             assert cos > 0.95, cos
+
+
+def test_fcos_classic_int8_ladder_close_to_float():
+    """Classic-FCOS int8 ladder (models/fcos_int8.py): the quantized FPN
+    and 4-conv-tower head track their float counterparts (cos > 0.99 per
+    level/output on random init) — VERDICT r2 #7."""
+    from pytorch_object_detection_tpu.models.fcos_int8 import (
+        calibrate_fcoshead,
+        calibrate_fpn_classic,
+        fcoshead_int8_forward,
+        fpn_classic_int8_forward,
+        quantize_fcoshead,
+        quantize_fpn_classic,
+    )
+    from pytorch_object_detection_tpu.models.heads import FCOSHead
+    from pytorch_object_detection_tpu.nn.fpn import FPN
+
+    C = 64
+    rng = np.random.default_rng(11)
+    shapes = [(2, 16, 16, 96), (2, 8, 8, 192), (2, 4, 4, 384)]
+    feats = [jnp.asarray(rng.normal(size=s).astype(np.float32)) for s in shapes]
+    s_feats = [float(jnp.max(jnp.abs(f))) / 127.0 for f in feats]
+    feats_q = [jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+               for f, s in zip(feats, s_feats)]
+    feats_dq = [q.astype(jnp.float32) * s for q, s in zip(feats_q, s_feats)]
+
+    fpn = FPN(features=C)
+    v = fpn.init(jax.random.PRNGKey(0), feats)
+    taps = {k: float(x) for k, x in
+            jax.jit(calibrate_fpn_classic)(v["params"], feats_dq).items()}
+    qtree = quantize_fpn_classic(v["params"], taps, s_feats)
+    ref = fpn.apply(v, feats_dq)
+    got = fpn_classic_int8_forward(qtree, feats_q, jnp.float32)
+    for i, (g, w) in enumerate(zip(got, ref)):
+        assert _cos(g, w) > 0.99, (i, _cos(g, w))
+
+    # head on the int8 levels
+    head = FCOSHead(num_classes=20, features=C)
+    levels_q, level_scales = fpn_classic_int8_forward(qtree, feats_q, dequant=False)
+    levels_dq = [q.astype(jnp.float32) * s for q, s in zip(levels_q, level_scales)]
+    hv = head.init(jax.random.PRNGKey(1), levels_dq)
+    htaps = {k: float(x) for k, x in
+             jax.jit(calibrate_fcoshead)(hv["params"], levels_dq).items()}
+    hq = quantize_fcoshead(hv["params"], htaps, level_scales, 20)
+    ref_cls, ref_cnt, ref_reg = head.apply(hv, levels_dq)
+    cls8, cnt8, reg8 = fcoshead_int8_forward(hq, levels_q)
+    for i in range(5):
+        assert _cos(cls8[i], ref_cls[i]) > 0.99, i
+        assert _cos(cnt8[i], ref_cnt[i]) > 0.99, i
+        assert _cos(reg8[i], ref_reg[i]) > 0.99, i
+
+
+def test_fcos_int8_full_eval_forward():
+    """Detector-level FCOS int8 path (backbone + classic FPN + tower head)
+    through make_eval_forward_int8 produces decodable outputs close to the
+    float forward."""
+    from pytorch_object_detection_tpu.models.fcos import FCOS
+    from pytorch_object_detection_tpu.train.trainer import (
+        create_train_state,
+        make_eval_forward,
+        make_eval_forward_int8,
+        quantize_backbone,
+        quantize_fpn,
+        quantize_head,
+    )
+
+    hw = (64, 64)
+    model = FCOS(num_classes=20, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *hw, 3))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    calib = jax.random.normal(jax.random.PRNGKey(2), (2, *hw, 3)) * 0.5
+
+    qbb = quantize_backbone(model, variables, calib)
+    qfpn = quantize_fpn(model, variables, qbb, calib)
+    qhead = quantize_head(model, variables, qbb, qfpn, calib)
+    qtree = {"backbone": qbb, "fpn": qfpn, "head": qhead}
+
+    fwd8 = make_eval_forward_int8(model, backend="xla", int8_fpn=True,
+                                  int8_head=True)
+    cls8, cnt8, reg8 = jax.jit(fwd8)(qtree, state.params, state.batch_stats, calib)
+    fwd = make_eval_forward(model, jnp.float32)
+    cls, cnt, reg = jax.jit(fwd)(state.params, state.batch_stats, calib)
+    for i in range(5):
+        assert cls8[i].shape == cls[i].shape
+        assert np.isfinite(np.asarray(cls8[i])).all()
+        assert _cos(cls8[i], cls[i]) > 0.98, (i, _cos(cls8[i], cls[i]))
+        assert _cos(reg8[i], reg[i]) > 0.98, (i, _cos(reg8[i], reg[i]))
