@@ -39,7 +39,8 @@ def build_pipeline(mode: str, hw, batch_size: int):
         quantize_backbone,
     )
 
-    model = HISFCOS(num_classes=20)
+    # PODT_BENCH_CLASSES=80 benches the COCO head (pred pad 96, not 32)
+    model = HISFCOS(num_classes=int(os.environ.get("PODT_BENCH_CLASSES", "20")))
     rng = jax.random.PRNGKey(0)
     # jit the init: un-jitted linen init dispatches op-by-op through the
     # axon tunnel (minutes); jitted it is one program.
@@ -108,6 +109,8 @@ def build_pipeline(mode: str, hw, batch_size: int):
 
 def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "128")), iters: int = 25, hw=(512, 512)):
     mode = os.environ.get("PODT_BENCH_MODE", "int8")
+    if os.environ.get("PODT_BENCH_HW"):  # e.g. "896x1408" (COCO canvas)
+        hw = tuple(int(v) for v in os.environ["PODT_BENCH_HW"].split("x"))
     try:
         run, _ = build_pipeline(mode, hw, batch_size)
         float(run())  # compile + warm

@@ -2,15 +2,18 @@
 
 One kernel maps one int8 pyramid level to (cls logits, cnt|reg preds):
 pw1 -> GN32+ReLU -> dw3x3 -> GN32+SiLU -> pw2+residual -> cls/reg towers
-(3x3 + GN32 + ReLU) -> pred convs — eleven VMEM-resident passes, one HBM
+(3x3 + GN32 + ReLU) -> pred convs — SEVEN VMEM-resident passes, one HBM
 read (int8 level) and two small bf16 writes (the packed pred maps).
 
 GroupNorm without leaving the kernel: each conv pass accumulates per-channel
 sum/sum-of-squares from its f32 accumulator while storing the (bf16)
 pre-norm tensor to VMEM scratch; group reduce/broadcast run as two tiny f32
 matmuls against a 0/1 group-membership matrix (exact, no cross-lane shuffle
-semantics to worry about), then a second pass applies
-``(z - mean) * rstd * gamma + beta``, the activation, and the int8 requant.
+semantics to worry about).  The normalize ``(z - mean) * rstd * gamma +
+beta`` + activation + requant is FUSED into the conv pass that consumes it
+(r3): 3x3 consumers rebuild their one-row halo from the pre-norm scratch
+(`_norm_relu_band`, 2/row_chunk recompute overhead), the 1x1 consumer
+normalizes inline — no standalone elementwise pass ever walks the level.
 
 This succeeds where the bf16 whole-head kernel failed (PERF.md r1: im2col
 build was the VPU wall): the 3x3 convs here are nine shifted int8 MXU dots
@@ -39,6 +42,13 @@ from pytorch_object_detection_tpu.ops.pallas_qhis import _band, _shift_cols
 
 GN_EPS = 1e-5
 NUM_GROUPS = 32
+
+# dev ablation knob (read at trace time): "nosilu" replaces the stem SiLU
+# with ReLU, "nostats" skips the GN stat accumulation, "nodw" skips the
+# depthwise taps — for attributing the kernel's VPU cost, never accuracy
+import os as _os
+
+_ABL = _os.environ.get("PODT_QHEAD_ABL", "")
 
 
 def _pred_pad_for(num_classes: int) -> int:
@@ -90,10 +100,35 @@ def _gn_vectors(ch_sum, ch_sumsq, g_ref, gamma, beta, npix, gsz):
     return mult, shift
 
 
+def _norm_relu_band(src_s, r0, rc, height, width, ch, mult, shift):
+    """Normalized+ReLU'd+requantized int8 band rows [r0-1, r0+rc+1) built
+    ON THE FLY from the bf16 pre-norm scratch (fused-normalize form: the
+    standalone normalize pass disappears; halo rows are recomputed, a
+    2/rc overhead).  Edge rows are zero AFTER the normalize — the conv's
+    zero-pad lives in the normalized int8 domain."""
+    lo, hi = r0 - 1, r0 + rc + 1
+    clo, chi = max(lo, 0), min(hi, height)
+    z = src_s[clo:chi].astype(jnp.float32)
+    q = _clip8(jnp.maximum(z * mult + shift, 0.0))
+    zrow = jnp.zeros((1, width, ch), jnp.int8)
+    for _ in range(clo - lo):
+        q = jnp.concatenate([zrow, q], axis=0)
+    for _ in range(hi - chi):
+        q = jnp.concatenate([q, zrow], axis=0)
+    return q  # [rc + 2, W, C] int8
+
+
 def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
                   wcr_ref, g1_ref, g2_ref, gn_ref, sc_ref, sm_ref,
-                  cls_ref, cr_ref, z_s, zt_s, x1q_s, x2q_s, yq_s, tq_s, *,
+                  cls_ref, cr_ref, z1_s, z2_s, zt_s, yq_s, *,
                   height, width, cin, row_chunk, pred_pad):
+    """Seven fused passes (was eleven): every GN normalize rides inside
+    the conv pass that consumes it — the 3x3 consumers re-normalize their
+    one-row halo from the bf16 pre-norm scratch (_norm_relu_band), the
+    1x1 consumer (pw2) normalizes inline.  This removes four standalone
+    whole-level VPU passes (and three int8 scratch tensors) and lets
+    Mosaic co-schedule the normalize VPU work with the MXU dots of the
+    same pass."""
     c2 = 2 * cin
     npix = height * width
     a1r = sc_ref[0, :]          # [2C]
@@ -107,15 +142,17 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
     gamma2, beta2 = gn_ref[2, :], gn_ref[3, :]
     gammac, betac = gn_ref[4, :cin], gn_ref[5, :cin]
     gammar, betar = gn_ref[6, :cin], gn_ref[7, :cin]
-    inv_x1, inv_x2 = sm_ref[0, 0], sm_ref[0, 1]
+    inv_x2 = sm_ref[0, 1]
     res_mul = sm_ref[0, 2]
-    inv_c, inv_r = sm_ref[0, 3], sm_ref[0, 4]
 
     x_img = x_ref[0]  # [H, W, C] int8
 
     def ch_sums(z2d):
         """Per-channel sum and sum-of-squares (VPU reduce; MXU ones-dot
         variants measured neutral-to-slower with the int8 dw path)."""
+        if _ABL == "nostats":
+            z = jnp.zeros((1, z2d.shape[1]), jnp.float32)
+            return z, z + 1.0
         return (jnp.sum(z2d, axis=0, keepdims=True),
                 jnp.sum(z2d * z2d, axis=0, keepdims=True))
 
@@ -127,47 +164,46 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
         z = _dot_i8(xs, w1_ref[:]).astype(jnp.float32) * a1r
         ds, dss = ch_sums(z)
         s1, ss1 = s1 + ds, ss1 + dss
-        z_s[r0:r0 + row_chunk] = z.reshape(row_chunk, width, c2).astype(jnp.bfloat16)
+        z1_s[r0:r0 + row_chunk] = z.reshape(row_chunk, width, c2).astype(jnp.bfloat16)
     # gamma1/beta1 arrive pre-scaled by inv_x1 (relu commutes with the
     # positive requant scale), so normalize+requant is one fma + relu + clip
-    mult, shift = _gn_vectors(s1, ss1, g2_ref, gamma1, beta1, npix, c2 // NUM_GROUPS)
-    for r0 in range(0, height, row_chunk):
-        z = z_s[r0:r0 + row_chunk].astype(jnp.float32)
-        x1q_s[r0:r0 + row_chunk] = _clip8(jnp.maximum(z * mult + shift, 0.0))
+    mult1, shift1 = _gn_vectors(s1, ss1, g2_ref, gamma1, beta1, npix, c2 // NUM_GROUPS)
 
-    # ---- dw 3x3 (int8 VPU — bf16 variant measured ~1.4 ms SLOWER) + GN + SiLU
+    # ---- dw 3x3 (int8 VPU — bf16 variant measured ~1.4 ms SLOWER), the
+    # normalize-1 fused into the band build
     s2 = jnp.zeros((1, c2), jnp.float32)
     ss2 = jnp.zeros((1, c2), jnp.float32)
     for r0 in range(0, height, row_chunk):
-        band = _band(x1q_s, r0, row_chunk, height, width, c2, 1)
+        band = _norm_relu_band(z1_s, r0, row_chunk, height, width, c2, mult1, shift1)
         acc = jnp.zeros((row_chunk, width, c2), jnp.int32)
         for ky in range(3):
             rows = band[ky:ky + row_chunk]
             for kx in range(3):
                 win = _shift_cols(rows, kx, 1, width, c2)
-                acc = acc + win.astype(jnp.int32) * wdw_ref[3 * ky + kx, :].astype(jnp.int32)
+                if _ABL != "nodw":
+                    acc = acc + win.astype(jnp.int32) * wdw_ref[3 * ky + kx, :].astype(jnp.int32)
         z = acc.astype(jnp.float32) * adw
         ds, dss = ch_sums(z.reshape(row_chunk * width, c2))
         s2, ss2 = s2 + ds, ss2 + dss
-        z_s[r0:r0 + row_chunk] = z.astype(jnp.bfloat16)
-    mult, shift = _gn_vectors(s2, ss2, g2_ref, gamma2, beta2, npix, c2 // NUM_GROUPS)
-    for r0 in range(0, height, row_chunk):
-        z = z_s[r0:r0 + row_chunk].astype(jnp.float32)
-        x2 = _silu(z * mult + shift)
-        x2q_s[r0:r0 + row_chunk] = _clip8(x2 * inv_x2)
+        z2_s[r0:r0 + row_chunk] = z.astype(jnp.bfloat16)
+    mult2, shift2 = _gn_vectors(s2, ss2, g2_ref, gamma2, beta2, npix, c2 // NUM_GROUPS)
 
-    # ---- pw2 + residual
+    # ---- normalize-2 + SiLU + pw2 + residual in ONE pass (1x1: no halo)
     for r0 in range(0, height, row_chunk):
-        xs = x2q_s[r0:r0 + row_chunk].reshape(row_chunk * width, c2)
+        z = z2_s[r0:r0 + row_chunk].astype(jnp.float32)
+        x2 = (jnp.maximum(z * mult2 + shift2, 0.0) if _ABL == "nosilu"
+              else _silu(z * mult2 + shift2))
+        xs = _clip8(x2 * inv_x2).reshape(row_chunk * width, c2)
         y = _dot_i8(xs, w2_ref[:]).astype(jnp.float32) * a2r + b2r
         res = x_img[r0:r0 + row_chunk].reshape(row_chunk * width, cin)
         y = y + res.astype(jnp.float32) * res_mul
         yq_s[r0:r0 + row_chunk] = _clip8(y).reshape(row_chunk, width, cin)
 
-    # ---- cls/reg branches: tower 3x3 + GN + ReLU -> pred 3x3
-    for (w_t, a_t, gmm, bt, inv_t, w_p, a_p, b_p, out_ref) in (
-        (wc_ref, acr_t, gammac, betac, inv_c, wpc_ref, apc, bpc, cls_ref),
-        (wr_ref, arr_t, gammar, betar, inv_r, wcr_ref, acr_p, bcr_p, cr_ref),
+    # ---- cls/reg branches: tower 3x3 + GN stats, then pred 3x3 with the
+    # tower normalize fused into its band build
+    for (w_t, a_t, gmm, bt, w_p, a_p, b_p, out_ref) in (
+        (wc_ref, acr_t, gammac, betac, wpc_ref, apc, bpc, cls_ref),
+        (wr_ref, arr_t, gammar, betar, wcr_ref, acr_p, bcr_p, cr_ref),
     ):
         st = jnp.zeros((1, cin), jnp.float32)
         sst = jnp.zeros((1, cin), jnp.float32)
@@ -180,16 +216,15 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
                     win = _shift_cols(rows, kx, 1, width, cin)
                     acc = acc + _dot_i8(win.reshape(row_chunk * width, cin), w_t[ky, kx])
             z = acc.astype(jnp.float32) * a_t
-            st = st + jnp.sum(z, axis=0, keepdims=True)
-            sst = sst + jnp.sum(z * z, axis=0, keepdims=True)
+            if _ABL != "nostats":
+                st = st + jnp.sum(z, axis=0, keepdims=True)
+                sst = sst + jnp.sum(z * z, axis=0, keepdims=True)
             zt_s[r0:r0 + row_chunk] = z.reshape(row_chunk, width, cin).astype(jnp.bfloat16)
         # gmm/bt pre-scaled by inv_t (see gamma1 note)
-        mult, shift = _gn_vectors(st, sst, g1_ref, gmm, bt, npix, cin // NUM_GROUPS)
+        multt, shiftt = _gn_vectors(st, sst, g1_ref, gmm, bt, npix, cin // NUM_GROUPS)
         for r0 in range(0, height, row_chunk):
-            z = zt_s[r0:r0 + row_chunk].astype(jnp.float32)
-            tq_s[r0:r0 + row_chunk] = _clip8(jnp.maximum(z * mult + shift, 0.0))
-        for r0 in range(0, height, row_chunk):
-            band = _band(tq_s, r0, row_chunk, height, width, cin, 1)
+            band = _norm_relu_band(zt_s, r0, row_chunk, height, width, cin,
+                                   multt, shiftt)
             acc = jnp.zeros((row_chunk * width, pred_pad), jnp.int32)
             for ky in range(3):
                 rows = band[ky:ky + row_chunk]
@@ -298,12 +333,10 @@ def qhishead_level(q, lv, x_q, *, num_classes: int | None = None,
             jax.ShapeDtypeStruct((bsz, h, w, pred_pad), jnp.bfloat16),
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, w, c2), jnp.bfloat16),   # z_s (pw1 / dw pre-norm)
+            pltpu.VMEM((h, w, c2), jnp.bfloat16),   # z1_s (pw1 pre-norm)
+            pltpu.VMEM((h, w, c2), jnp.bfloat16),   # z2_s (dw pre-norm)
             pltpu.VMEM((h, w, cin), jnp.bfloat16),  # zt_s (tower pre-norm)
-            pltpu.VMEM((h, w, c2), jnp.int8),       # x1q
-            pltpu.VMEM((h, w, c2), jnp.int8),       # x2q
-            pltpu.VMEM((h, w, cin), jnp.int8),      # yq
-            pltpu.VMEM((h, w, cin), jnp.int8),      # tq (cls then reg tower)
+            pltpu.VMEM((h, w, cin), jnp.int8),      # yq (stem output)
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
