@@ -28,6 +28,11 @@ def main():
         cat = collections.Counter()
         for line in plane.lines:
             print(f"   [line] {line.name}: {len(line.events)} events")
+            # only the synchronous op line carries attributable device time;
+            # "Async XLA Ops" (DMA slices) overlap compute and "Steps" is the
+            # per-step umbrella — summing either double-counts the iteration
+            if line.name not in ("XLA Ops",):
+                continue
             for ev in line.events:
                 name = md[ev.metadata_id].name if ev.metadata_id in md else "?"
                 op = name.split(" = ")[0].lstrip("%")
