@@ -88,15 +88,18 @@ def decode_detections(
     cnt_logits = flatten_level_preds(cnt_levels)  # [B, N, 1]
     reg_preds = flatten_level_preds(reg_levels)  # [B, N, 4]
 
-    cls_p = jax.nn.sigmoid(cls_logits)
+    # sigmoid is monotone: max/argmax over classes commute with it, so the
+    # [B, N, C] sigmoid never materializes — one sigmoid on the [B, N] max
+    cls_score = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))  # [B, N]
+    cls_class = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32) + 1  # 1-based
     cnt_p = jax.nn.sigmoid(cnt_logits)
+    # sqrt is monotone too: top-k runs on the product, sqrt touches only the
+    # K survivors instead of all N grid points
+    score_sq = cls_score * cnt_p[..., 0]
 
-    cls_score = jnp.max(cls_p, axis=-1)  # [B, N]
-    cls_class = jnp.argmax(cls_p, axis=-1).astype(jnp.int32) + 1  # 1-based
-    score = jnp.sqrt(cls_score * cnt_p[..., 0])
-
-    k = min(max_detections, score.shape[-1])
-    top_scores, top_idx = jax.lax.top_k(score, k)  # sorted descending
+    k = min(max_detections, score_sq.shape[-1])
+    top_sq, top_idx = jax.lax.top_k(score_sq, k)  # sorted descending
+    top_scores = jnp.sqrt(top_sq)
     top_classes = jnp.take_along_axis(cls_class, top_idx, axis=1)
     # decode boxes AFTER the top-k gather: ltrb->xyxy runs on [B, K] rows
     # instead of all [B, N] grid points (N/K ~ 5.5x at 512^2)

@@ -126,7 +126,11 @@ def create_train_state(
     freeze_bn: bool = True,
     frozen_stages: int = 1,
 ) -> TrainState:
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), False)
+    # jit the init: un-jitted linen init dispatches op-by-op (minutes through
+    # the axon tunnel); jitted it is one compiled program (~seconds)
+    variables = jax.jit(lambda r, x: model.init(r, x, False))(
+        rng, jnp.zeros(input_shape, jnp.float32)
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     cfg = optimizer_cfg or {}

@@ -35,7 +35,7 @@ def test_full_slice(tmp_path):
 
     rng = jax.random.PRNGKey(1)
     losses = []
-    for images, boxes, labels, scales, content_w, _ids, _nv in loader:
+    for images, boxes, labels, scales, content_w, _ids, _nv, _ch in loader:
         rng, k = jax.random.split(rng)
         imgs, bxs = preprocess(k, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(content_w))
         state, metrics = step(state, imgs, bxs, jnp.asarray(labels))
