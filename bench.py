@@ -76,9 +76,12 @@ def build_pipeline(mode: str, hw, batch_size: int):
         )
         if u8_input:
             # serving input contract: RAW uint8 images — normalize is folded
-            # into the exact s2d stem kernel
+            # into the exact s2d stem kernel.  PODT_BENCH_RGBX=1 feeds
+            # 4-channel RGBX u8 (standard decoder output), which skips the
+            # channel pad + relayout in front of the stem kernel.
+            nchan = 4 if os.environ.get("PODT_BENCH_RGBX", "0") == "1" else 3
             images = jax.random.randint(
-                jax.random.PRNGKey(1), (batch_size, *hw, 3), 0, 256, jnp.uint8
+                jax.random.PRNGKey(1), (batch_size, *hw, nchan), 0, 256, jnp.uint8
             )
 
         @jax.jit

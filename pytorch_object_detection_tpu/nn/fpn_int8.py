@@ -26,6 +26,7 @@ quantized are the BN-folded forward in nn/fused_fpn.py.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -340,7 +341,12 @@ def hisfpn_int8_forward(qtree, feats_q, compute_dtype=jnp.bfloat16,
     """
     pallas = backend == "pallas"
     if pallas:
+        from pytorch_object_detection_tpu.ops.pallas_pool import qmaxpool2x2
         from pytorch_object_detection_tpu.ops.pallas_qhis import qhisblock as _blk_fn
+
+        _pool = functools.partial(qmaxpool2x2, interpret=interpret)
+    else:
+        _pool = _maxpool2x2_i8
 
     from pytorch_object_detection_tpu.ops.pallas_qconv import qconv1x1
 
@@ -368,8 +374,8 @@ def hisfpn_int8_forward(qtree, feats_q, compute_dtype=jnp.bfloat16,
         return _requant(_conv_i8(c_q, lat["w"], 0), lat["A"], lat["B"])
 
     t5 = lateral(c5q, qtree["tf1"])
-    seed6 = _maxpool2x2_i8(t5)
-    seed7 = _maxpool2x2_i8(seed6)
+    seed6 = _pool(t5)
+    seed7 = _pool(seed6)
     s_t5 = qtree["tf1"]["s"]
     s_d5 = qtree["his1"]["s_out"]
     s_d4 = qtree["his2"]["s_out"]
@@ -380,10 +386,10 @@ def hisfpn_int8_forward(qtree, feats_q, compute_dtype=jnp.bfloat16,
     t3 = lateral(c3q, qtree["tf3"])
     p3 = block("his3", d4, s_d4, t3, qtree["tf3"]["s"], up=True)
 
-    p4 = block("his4", _maxpool2x2_i8(p3), qtree["his3"]["s_out"], d4, s_d4)
-    p5 = block("his5", _maxpool2x2_i8(p4), qtree["his4"]["s_out"], d5, s_d5)
-    p6 = block("his6", _maxpool2x2_i8(p5), qtree["his5"]["s_out"], seed6, s_t5)
-    p7 = block("his7", _maxpool2x2_i8(p6), qtree["his6"]["s_out"], seed7, s_t5)
+    p4 = block("his4", _pool(p3), qtree["his3"]["s_out"], d4, s_d4)
+    p5 = block("his5", _pool(p4), qtree["his4"]["s_out"], d5, s_d5)
+    p6 = block("his6", _pool(p5), qtree["his5"]["s_out"], seed6, s_t5)
+    p7 = block("his7", _pool(p6), qtree["his6"]["s_out"], seed7, s_t5)
 
     levels_q = (p3, p4, p5, p6, p7)
     scales = tuple(qtree[b]["s_out"] for b in ("his3", "his4", "his5", "his6", "his7"))

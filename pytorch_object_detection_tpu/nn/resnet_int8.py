@@ -258,15 +258,40 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         from pytorch_object_detection_tpu.nn.resnet import space_to_depth
 
         st = qtree["stem_s2d"]
-        # channel-pad on the raw layout (cheap), s2d the uint8 directly;
-        # the u8 - 128 conversion happens inside the kernel (VMEM-local)
-        u4 = jnp.pad(images, ((0, 0), (0, 0), (0, 0), (0, 1)),
-                     constant_values=jnp.uint8(128))
-        xs = space_to_depth(u4, 2)  # [B, H/2, W/2, 16] uint8
+        # channel-pad to RGBX (x = 128 == 0 in the v domain); callers may
+        # pass 4-channel RGBX u8 directly (standard decoder output), which
+        # skips the pad AND the XLA relayout it forces in front of the
+        # raw-form stem kernel (copy.182, 5.2 ms at B=128 — PERF.md r3)
+        if images.shape[-1] == 4:
+            u4 = images
+        else:
+            u4 = jnp.pad(images, ((0, 0), (0, 0), (0, 0), (0, 1)),
+                         constant_values=jnp.uint8(128))
         if pallas:
             import os as _os
 
             from pytorch_object_detection_tpu.ops.pallas_qstem import qstem_conv
+
+            # s2d forms (all bit-identical; see PERF.md r3 "stem s2d copies"):
+            #   slice  — row-major bitcast view + two outer-strided slices
+            #            + one lane concat in XLA (the W-pair merge is FREE
+            #            in row-major, only the row interleave moves data)
+            #   kernel — the bitcast view goes straight into the Pallas
+            #            stem and the row merge happens in VMEM
+            #   transpose — the original 6D-transpose space_to_depth
+            # measured at B=128 (PERF.md r3): transpose 1905 img/s e2e,
+            # kernel 1850, slice 1589 — XLA's 6D transpose beats both
+            # alternatives, so it stays the default
+            stem_form = _os.environ.get("PODT_RAW_STEM", "transpose")
+            raw_stem = stem_form == "kernel"
+            b_, h_, w_, _ = u4.shape
+            u4v = u4.reshape(b_, h_ // 2, 2, w_ // 2, 8)
+            if raw_stem:
+                xs = u4v
+            elif stem_form == "slice":
+                xs = jnp.concatenate([u4v[:, :, 0], u4v[:, :, 1]], axis=-1)
+            else:
+                xs = space_to_depth(u4, 2)  # [B, H/2, W/2, 16] uint8
 
             if _os.environ.get("PODT_STEM_POOL", "1") == "1":
                 # 3x3/2 maxpool fused into the kernel epilogue: the
@@ -278,16 +303,17 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                 merged = (fuse_blocks and fuse_strided
                           and _os.environ.get("PODT_MERGED_S1", "1") == "1")
                 x_q = qstem_conv(xs, st["w"], st["A"], st["B"], st["pad"],
-                                 pool=True, emit_merged=merged)
+                                 pool=True, emit_merged=merged, raw=raw_stem)
                 x_merged = merged
             else:
-                x_q = qstem_conv(xs, st["w"], st["A"], st["B"], st["pad"])
+                x_q = qstem_conv(xs, st["w"], st["A"], st["B"], st["pad"],
+                                 raw=raw_stem)
                 x_q = jax.lax.reduce_window(
                     x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
                     [(0, 0), (1, 1), (1, 1), (0, 0)],
                 )
         else:
-            x_q = _stem_s2d_i8_xla(st, xs)
+            x_q = _stem_s2d_i8_xla(st, space_to_depth(u4, 2))
     elif backend == "pallas_stem_tail":
         # experimental: measured SLOWER than XLA on v5e (the bf16 pair-reduce
         # pooling lowers to sub-lane shuffles; 28 ms/iter at B=64 vs 6.8 for

@@ -50,13 +50,23 @@ def _clip8(x):
 
 
 def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *carry_s,
-                  hs, ws, row_chunk, pool, emit_merged=False):
+                  hs, ws, row_chunk, pool, emit_merged=False, raw=False):
     # pool: scale rows are channel-tiled to 128 for the block-diag dot
     a_row = sc_ref[0, :]
     b_row = sc_ref[1, :]
     padv = pad_ref[0]  # [S2D_C] int8 (x_f = 0 in the v domain)
 
-    x_img = x_ref[0]  # [hs, ws, 16] uint8 (raw s2d image data)
+    if raw:
+        # raw mode: the block is the FREE bitcast view [hs, 2, ws, 8] of the
+        # channel-padded raw image (row pairs split on an outer dim, column
+        # pairs already lane-merged by the row-major reshape).  One offset-0
+        # lane-concat rebuilds the (dy, dx, c4) s2d channel order in VMEM —
+        # the 4.3 ms of XLA transpose/relayout copies (trace r3: copy.185/
+        # 187/228) never exist.
+        x4 = x_ref[0]  # [hs, 2, ws, 8] uint8
+        x_img = jnp.concatenate([x4[:, 0], x4[:, 1]], axis=-1)
+    else:
+        x_img = x_ref[0]  # [hs, ws, 16] uint8 (raw s2d image data)
 
     # conv 4x4/1 (pad (2,1)) + BN + ReLU + requant; output stays 2D
     # [RC*ws, 64] — a 3D reshape at 64 lanes is an unsupported Mosaic
@@ -153,7 +163,7 @@ def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *carry_s,
 
 def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
                pool: bool = False, emit_merged: bool = False,
-               interpret: bool = False):
+               raw: bool = False, interpret: bool = False):
     """int8 s2d stem conv: [B, 256, 256, 16] uint8 -> [B, 256, 256, 64] int8.
 
     xs2d: space_to_depth of the channel-padded RAW uint8 image (the
@@ -161,6 +171,12 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
     w2d/a/b/padvec from nn/resnet_int8.quantize_stem_s2d (a/b include BN
     fold and the output requant scale; relu commutes with the positive
     scale).
+
+    raw=True: xs2d is instead the FREE bitcast view [B, hs, 2, ws, 8] of
+    the channel-padded raw uint8 image ([B, 2hs, 2ws, 4].reshape(B, hs, 2,
+    ws, 8) — row-major, so no data moves) and the s2d row merge happens
+    in-kernel; bit-identical to the space_to_depth path but skips its XLA
+    transpose/relayout copies entirely.
 
     pool=False: returns the conv output; the 3x3/2 maxpool runs in XLA.
     pool=True: the 3x3/2 stride-2 maxpool (pad 1 — reference resnet50
@@ -172,8 +188,13 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
     64:), feeding the merged stage-1 bottleneck kernels with no XLA
     relayout in between.
     """
-    bsz, hs, ws, c = xs2d.shape
-    assert c == S2D_C and w2d.shape == (KTAP * KTAP * S2D_C, COUT)
+    if raw:
+        bsz, hs, two, ws, c8 = xs2d.shape
+        assert two == 2 and c8 == S2D_C // 2, xs2d.shape
+    else:
+        bsz, hs, ws, c = xs2d.shape
+        assert c == S2D_C, xs2d.shape
+    assert w2d.shape == (KTAP * KTAP * S2D_C, COUT)
     assert xs2d.dtype == jnp.uint8, xs2d.dtype
     assert not (emit_merged and not pool)
     while hs % row_chunk or (pool and row_chunk % (4 if emit_merged else 2)):
@@ -192,7 +213,7 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
     pad2d = jnp.asarray(padvec, jnp.int8).reshape(1, S2D_C)
 
     kern = functools.partial(_qstem_kernel, hs=hs, ws=ws, row_chunk=row_chunk,
-                             pool=pool, emit_merged=emit_merged)
+                             pool=pool, emit_merged=emit_merged, raw=raw)
     whole = lambda *shape: pl.BlockSpec(shape, lambda bi: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     if pool:
@@ -213,7 +234,8 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
         kern,
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec((1, hs, ws, c), lambda bi: (bi, 0, 0, 0),
+            pl.BlockSpec((1, hs, 2, ws, S2D_C // 2) if raw else (1, hs, ws, S2D_C),
+                         (lambda bi: (bi, 0, 0, 0, 0)) if raw else (lambda bi: (bi, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
             whole(*w2d.shape),
             whole(*scales.shape),

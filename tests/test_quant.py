@@ -593,6 +593,19 @@ def test_u8_s2d_stem_exact_and_kernel_matches_oracle():
                        pool=True, emit_merged=True, row_chunk=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(row_pair_split(fm_mc)), np.asarray(kp))
 
+    # raw mode: the free bitcast view of the padded raw image replaces the
+    # XLA space_to_depth — must be bit-identical in every epilogue config
+    xraw = u4.reshape(B, H // 2, 2, H // 2, 8)
+    kern_raw = qstem_conv(xraw, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                          q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                          raw=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(kern_raw), np.asarray(kern))
+    fm_raw = qstem_conv(xraw, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                        q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                        pool=True, emit_merged=True, row_chunk=8, raw=True,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(fm_raw), np.asarray(fm_mc))
+
 
 def test_u8_input_full_int8_forward():
     """Detector-level u8-input serving path (s2d stem + int8 FPN + head)
@@ -721,3 +734,24 @@ def test_fcos_int8_full_eval_forward():
         assert np.isfinite(np.asarray(cls8[i])).all()
         assert _cos(cls8[i], cls[i]) > 0.98, (i, _cos(cls8[i], cls[i]))
         assert _cos(reg8[i], reg[i]) > 0.98, (i, _cos(reg8[i], reg[i]))
+
+
+def test_pallas_qmaxpool2x2_matches_reduce_window():
+    """The Pallas int8 2x2/2 maxpool is bit-exact vs reduce_window on every
+    pyramid-level shape the FPN uses, and falls back cleanly on odd shapes."""
+    from pytorch_object_detection_tpu.ops.pallas_pool import qmaxpool2x2
+
+    rng = np.random.default_rng(3)
+    for shape in [(2, 64, 64, 256), (2, 16, 16, 256), (2, 4, 4, 256),
+                  (1, 8, 8, 128)]:
+        x = jnp.asarray(rng.integers(-127, 128, shape).astype(np.int8))
+        ref = jax.lax.reduce_window(
+            x, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        out = qmaxpool2x2(x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # odd spatial (COCO canvas levels) -> reduce_window fallback, same result
+    x = jnp.asarray(rng.integers(-127, 128, (1, 7, 11, 256)).astype(np.int8))
+    ref = jax.lax.reduce_window(
+        x, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    np.testing.assert_array_equal(np.asarray(qmaxpool2x2(x, interpret=True)),
+                                  np.asarray(ref))
