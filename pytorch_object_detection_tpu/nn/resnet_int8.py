@@ -258,11 +258,16 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         from pytorch_object_detection_tpu.nn.resnet import space_to_depth
 
         st = qtree["stem_s2d"]
-        # channel-pad to RGBX (x = 128 == 0 in the v domain); callers may
-        # pass 4-channel RGBX u8 directly (standard decoder output), which
-        # skips the pad AND the XLA relayout it forces in front of the
-        # raw-form stem kernel (copy.182, 5.2 ms at B=128 — PERF.md r3)
-        if images.shape[-1] == 4:
+        # Input forms (fastest first — PERF.md r3 "stem s2d forms"):
+        #   * [B, H/2, 2, W/2, 8] u8 — the SAME C-contiguous RGBX frame
+        #     buffer described 5D (a zero-cost numpy view on the host).
+        #     The jit arg layout then equals the Pallas stem's operand
+        #     constraint, so NO relayout/pad/s2d op exists at all.
+        #   * [B, H, W, 4] RGBX / [B, H, W, 3] RGB — device-side s2d
+        #     (form picked by PODT_RAW_STEM below).
+        if images.ndim == 5:
+            u4 = None  # already the raw-form kernel view
+        elif images.shape[-1] == 4:
             u4 = images
         else:
             u4 = jnp.pad(images, ((0, 0), (0, 0), (0, 0), (0, 1)),
@@ -279,19 +284,24 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
             #   kernel — the bitcast view goes straight into the Pallas
             #            stem and the row merge happens in VMEM
             #   transpose — the original 6D-transpose space_to_depth
-            # measured at B=128 (PERF.md r3): transpose 1905 img/s e2e,
-            # kernel 1850, slice 1589 — XLA's 6D transpose beats both
-            # alternatives, so it stays the default
-            stem_form = _os.environ.get("PODT_RAW_STEM", "transpose")
-            raw_stem = stem_form == "kernel"
-            b_, h_, w_, _ = u4.shape
-            u4v = u4.reshape(b_, h_ // 2, 2, w_ // 2, 8)
-            if raw_stem:
-                xs = u4v
-            elif stem_form == "slice":
-                xs = jnp.concatenate([u4v[:, :, 0], u4v[:, :, 1]], axis=-1)
+            if u4 is None:
+                raw_stem, xs = True, images
             else:
-                xs = space_to_depth(u4, 2)  # [B, H/2, W/2, 16] uint8
+                # measured at B=128 (PERF.md r3): transpose 1905 img/s e2e,
+                # kernel 1850, slice 1589 — XLA's 6D transpose beats both
+                # device-side alternatives (the kernel form pays a 5.2 ms
+                # arg relayout, not kernel cost), so it stays the default
+                # for 3/4-channel inputs; the 5D view above beats them all
+                stem_form = _os.environ.get("PODT_RAW_STEM", "transpose")
+                raw_stem = stem_form == "kernel"
+                b_, h_, w_, _ = u4.shape
+                u4v = u4.reshape(b_, h_ // 2, 2, w_ // 2, 8)
+                if raw_stem:
+                    xs = u4v
+                elif stem_form == "slice":
+                    xs = jnp.concatenate([u4v[:, :, 0], u4v[:, :, 1]], axis=-1)
+                else:
+                    xs = space_to_depth(u4, 2)  # [B, H/2, W/2, 16] uint8
 
             if _os.environ.get("PODT_STEM_POOL", "1") == "1":
                 # 3x3/2 maxpool fused into the kernel epilogue: the
@@ -313,6 +323,9 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                     [(0, 0), (1, 1), (1, 1), (0, 0)],
                 )
         else:
+            if u4 is None:  # undo the 5D view for the per-op oracle
+                b_, h2, _, w2, _ = images.shape
+                u4 = images.reshape(b_, h2 * 2, w2 * 2, 4)
             x_q = _stem_s2d_i8_xla(st, space_to_depth(u4, 2))
     elif backend == "pallas_stem_tail":
         # experimental: measured SLOWER than XLA on v5e (the bf16 pair-reduce
