@@ -171,7 +171,9 @@ def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "128")), iters
     print(
         json.dumps(
             {
-                "metric": f"hisfcos_e2e_eval_images_per_sec_512px_{mode}",
+                "metric": f"hisfcos_e2e_eval_images_per_sec_{hw[0]}x{hw[1]}_{mode}"
+                if hw != (512, 512)
+                else f"hisfcos_e2e_eval_images_per_sec_512px_{mode}",
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),

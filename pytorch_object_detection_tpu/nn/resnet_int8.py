@@ -284,6 +284,20 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
             #   kernel — the bitcast view goes straight into the Pallas
             #            stem and the row merge happens in VMEM
             #   transpose — the original 6D-transpose space_to_depth
+            # VMEM guard: the Pallas window pads the minor dim to 128
+            # lanes, so a [1, hs, 2, ws, 8] u8 block occupies hs*2*ws*128
+            # physical bytes x2 buffering.  Beyond ~45 MB logical-per-
+            # buffer the COCO canvas overflows the 128 MB VMEM (measured:
+            # 896x1408 needs 161 MB) — fall back to the transpose form,
+            # whose [1, hs, ws, 16] window pads only 8x.
+            def _raw_fits(hs_, ws_):
+                return hs_ * 2 * ws_ * 128 <= 45 * 2**20
+
+            if images.ndim == 5:
+                _, h2, _, w2, _ = images.shape
+                if not _raw_fits(h2, w2):
+                    b_ = images.shape[0]
+                    u4 = images.reshape(b_, h2 * 2, w2 * 2, 4)
             if u4 is None:
                 raw_stem, xs = True, images
             else:

@@ -47,13 +47,22 @@ def qmaxpool2x2(x, *, interpret: bool = False):
         return jax.lax.reduce_window(
             x, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
         )
-    kern = functools.partial(_qpool_kernel, h=h, w=w, c=c)
+    # the 2x2/2 pool is row-pair-local (no halo), so large levels (COCO
+    # canvas) band the grid over rows to bound VMEM
+    hb = h
+    while b * hb * w * c > 2**22 and hb % 2 == 0 and (h // hb) * hb == h:
+        nxt = hb // 2
+        if nxt % 2 or h % nxt:
+            break
+        hb = nxt
+    kern = functools.partial(_qpool_kernel, h=hb, w=w, c=c)
     return pl.pallas_call(
         kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w, c), lambda bi: (bi, 0, 0, 0),
+        grid=(b, h // hb),
+        in_specs=[pl.BlockSpec((1, hb, w, c), lambda bi, ri: (bi, ri, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h // 2, w // 2, c), lambda bi: (bi, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, hb // 2, w // 2, c),
+                               lambda bi, ri: (bi, ri, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h // 2, w // 2, c), jnp.int8),
         cost_estimate=pl.CostEstimate(

@@ -251,7 +251,9 @@ def qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd, *,
     cout = w3.shape[1]
     h_out, w_out = (h if merged_in else h // 2), wdt // 2
     row_chunk = min(row_chunk, h_out)
-    assert h_out % row_chunk == 0, (h_out, row_chunk)
+    while h_out % row_chunk:  # non-pow2 canvases (COCO 896x1408)
+        row_chunk //= 2
+    assert row_chunk >= 1
     if merged_in:
         assert cin == 2 * w1.shape[0], (x.shape, w1.shape)
         w1 = jnp.kron(jnp.eye(2, dtype=w1.dtype), w1)  # [2Cin, 2cw]
@@ -295,7 +297,8 @@ def qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd, *,
             bytes_accessed=x.size + bsz * h_out * w_out * cout,
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # 124 MB of the v5e's 128 MB VMEM: COCO-canvas levels need >100
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
     )(x, w1, w2, w3, wd, scales)
 
@@ -324,7 +327,9 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
     cout = w3.shape[1]
     has_ds = wd is not None
     row_chunk = min(row_chunk, h)
-    assert h % row_chunk == 0, (h, row_chunk)
+    while h % row_chunk:  # non-pow2 canvases (COCO 896x1408)
+        row_chunk //= 2
+    assert row_chunk >= 1
     if not has_ds:
         assert w1.shape[0] == cout and short_mul is not None
         wd = jnp.zeros((w1.shape[0], cout), jnp.int8)
@@ -382,7 +387,8 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
         ),
         # stage1 blocks double-buffer 4MB in + 4MB out; v5e has headroom
         # beyond the 16MB default scoped-vmem limit
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # 124 MB of the v5e's 128 MB VMEM: COCO-canvas levels need >100
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
     )
     return call(x, w1, w2, w3, wd, scales)

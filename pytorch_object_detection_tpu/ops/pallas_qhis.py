@@ -284,6 +284,7 @@ def qhisblock(blk, x_q, *, xb_q=None, combine=None, ca=1.0, cb=0.0,
             bytes_accessed=2 * bsz * h * w * cin + w3.size + w4.size,
             transcendentals=bsz * h * w * cin * 2,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # 124 MB of the v5e's 128 MB VMEM: COCO-canvas levels need >100
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
     )(x_q, xb_q, w1, w2, wdw, w3, w4, sew1, seb1, sew2, seb2, scales, sm)

@@ -249,7 +249,11 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
             bytes_accessed=xs2d.size + out_bytes,
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # COCO canvas (448x704 s2d): the double-buffered input window alone
+        # is 80.7 MB physical (16-lane minor padded to 128), so the scoped
+        # limit must rise above the default 100 MB; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(124 if hs * ws > 2**17 else 100) * 2**20),
         interpret=interpret,
     )(xs2d, w2d, scales, pad2d)
     if pool:

@@ -98,14 +98,47 @@ def decode_detections(
     score_sq = cls_score * cnt_p[..., 0]
 
     k = min(max_detections, score_sq.shape[-1])
-    top_sq, top_idx = jax.lax.top_k(score_sq, k)  # sorted descending
-    top_scores = jnp.sqrt(top_sq)
-    top_classes = jnp.take_along_axis(cls_class, top_idx, axis=1)
-    # decode boxes AFTER the top-k gather: ltrb->xyxy runs on [B, K] rows
-    # instead of all [B, N] grid points (N/K ~ 5.5x at 512^2)
-    top_reg = jnp.take_along_axis(reg_preds, top_idx[..., None], axis=1)
-    top_coords = jnp.take(coords, top_idx, axis=0)  # [B, K, 2]
-    top_boxes = ltrb_to_boxes(top_coords, top_reg)
+    if os.environ.get("PODT_DECODE", "sort") == "sort":
+        # carry class/reg THROUGH the top-k sort instead of gathering by
+        # index afterwards: XLA's take_along_axis gathers cost 2.1 ms at
+        # B=128/K=1000 while top_k already lowers to a 2-operand sort
+        # costing 0.3 ms — extra sort operands are far cheaper than
+        # gathers (PERF.md r3).  is_stable matches top_k's smallest-
+        # index-first tie rule; -score is an exact sign flip (score >= 0).
+        bsz, n = score_sq.shape
+        idx = jax.lax.broadcasted_iota(jnp.int32, (bsz, n), 1)
+        srt = jax.lax.sort(
+            (-score_sq, cls_class, reg_preds[..., 0], reg_preds[..., 1],
+             reg_preds[..., 2], reg_preds[..., 3], idx),
+            dimension=1, is_stable=True, num_keys=1)
+        top_sq = -srt[0][:, :k]
+        top_classes = srt[1][:, :k]
+        rl, rt, rr, rb = (s[:, :k] for s in srt[2:6])
+        top_idx = srt[6][:, :k]
+        top_scores = jnp.sqrt(top_sq)
+        # recompute grid-center coords from the flat index (exact integer
+        # arithmetic, f32-representable) instead of gathering the table
+        cx = jnp.zeros_like(top_scores)
+        cy = jnp.zeros_like(top_scores)
+        start = 0
+        for (h, w), s in zip(level_shapes, strides):
+            j = top_idx - start
+            in_l = (top_idx >= start) & (j < h * w)
+            lx = (j % w).astype(jnp.float32) * s + s // 2
+            ly = (j // w).astype(jnp.float32) * s + s // 2
+            cx = jnp.where(in_l, lx, cx)
+            cy = jnp.where(in_l, ly, cy)
+            start += h * w
+        top_boxes = jnp.stack([cx - rl, cy - rt, cx + rr, cy + rb], axis=-1)
+    else:
+        top_sq, top_idx = jax.lax.top_k(score_sq, k)  # sorted descending
+        top_scores = jnp.sqrt(top_sq)
+        top_classes = jnp.take_along_axis(cls_class, top_idx, axis=1)
+        # decode boxes AFTER the top-k gather: ltrb->xyxy runs on [B, K]
+        # rows instead of all [B, N] grid points (N/K ~ 5.5x at 512^2)
+        top_reg = jnp.take_along_axis(reg_preds, top_idx[..., None], axis=1)
+        top_coords = jnp.take(coords, top_idx, axis=0)  # [B, K, 2]
+        top_boxes = ltrb_to_boxes(top_coords, top_reg)
 
     if image_hw is not None:
         top_boxes = clip_boxes(top_boxes, image_hw[0], image_hw[1])
