@@ -50,7 +50,7 @@ def qmaxpool2x2(x, *, interpret: bool = False):
     # the 2x2/2 pool is row-pair-local (no halo), so large levels (COCO
     # canvas) band the grid over rows to bound VMEM
     hb = h
-    while b * hb * w * c > 2**22 and hb % 2 == 0 and (h // hb) * hb == h:
+    while hb * w * c > 2**22 and hb % 2 == 0:  # per-BLOCK bytes, not batch
         nxt = hb // 2
         if nxt % 2 or h % nxt:
             break

@@ -755,3 +755,20 @@ def test_pallas_qmaxpool2x2_matches_reduce_window():
         x, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     np.testing.assert_array_equal(np.asarray(qmaxpool2x2(x, interpret=True)),
                                   np.asarray(ref))
+
+
+def test_qbottleneck_non_pow2_height():
+    """COCO-canvas stage heights (56 = 112/2 merged) are not divisible by
+    the default row_chunk=16; the kernel must shrink it instead of
+    asserting (regression: 896x1408 int8 bench crash, r3)."""
+    from pytorch_object_detection_tpu.ops.pallas_qblock import qbottleneck
+
+    rng = np.random.RandomState(11)
+    B, H, W, Cin, Cw = 1, 56, 8, 32, 16
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, Cin)).astype(np.int8))
+    w1, w2, w3, a1, b1, a2, b2, a3, b3 = _rand_qblock(rng, Cin, Cw, Cin)
+    out = qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                      short_mul=0.5, interpret=True)  # row_chunk 16 -> 8
+    want = _ref_block(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                      x.astype(jnp.float32) * 0.5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
