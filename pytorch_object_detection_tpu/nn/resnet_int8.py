@@ -119,15 +119,21 @@ def quantize_stem_s2d(params, stats, mean, std, stem_absmax) -> Dict:
     weff4 = jnp.pad(weff, ((0, 0), (0, 0), (0, 1), (0, 0)))
     ks2d = s2d_stem_kernel(weff4)  # [4,4,16,64], exact; order (dy, dx, c4)
     wq, sw = weight_qparams(ks2d)
+    # direct 7x7 form for the XLA-conv stem: s2d_stem_kernel is a linear
+    # rearrangement (plus zero taps), so per-channel absmax — hence the
+    # scale AND the rounded int8 values — are identical to ks2d's
+    wq7, sw7 = weight_qparams(weff4)  # [7,7,4,64] int8
     s_out = act_scale(stem_absmax)
     inv = 1.0 / s_out
     pad3 = jnp.clip(jnp.round(255.0 * mean - 128.0), -128, 127).astype(jnp.int8)
     pad4 = jnp.pad(pad3, (0, 1))  # 4th (zero-weight) channel
     return {
         "w": wq.reshape(16 * 16, 64),
+        "w7": wq7,
         "A": sw * inv,
         "B": bias * inv,
         "pad": jnp.tile(pad4, 4),  # v-domain border fill, (dy, dx, c4) order
+        "pad4": pad4,  # per raw channel (the 7x7 form's border fill)
         "scale": s_out,
     }
 
@@ -181,6 +187,38 @@ def quantize_resnet50(variables, act_absmax: Dict, mean=None, std=None) -> Dict:
         q[scope] = blk
         s_prev = s_out
     return q
+
+
+def _stem_direct_i8_xla(st, u4, pool: bool = True):
+    """Direct 7x7/2 XLA int8 stem on the raw [B, H, W, 4] uint8 image.
+
+    Bit-identical to the s2d forms (the s2d rewrite is a linear
+    rearrangement of the same quantized taps — same scales, same rounded
+    weights, same padv borders) but runs on XLA's native int8 conv
+    engine: 4.05 ms device at B=128/512^2 vs 10.6 for the fused Pallas
+    s2d kernel + its input copies (PERF.md r3 stem A/B).  No s2d
+    transform of the image exists at all.
+    """
+    v = (u4.astype(jnp.int16) - 128).astype(jnp.int8)
+    b, h, w, c = v.shape
+    pad = st["pad4"].reshape(1, 1, 1, c)
+    prow = jnp.broadcast_to(pad, (b, 3, w, c)).astype(jnp.int8)
+    vp = jnp.concatenate([prow, v, prow], axis=1)
+    pcol = jnp.broadcast_to(pad, (b, h + 6, 3, c)).astype(jnp.int8)
+    vp = jnp.concatenate([pcol, vp, pcol], axis=2)
+    acc = jax.lax.conv_general_dilated(
+        vp, st["w7"], (2, 2), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    z = jnp.maximum(acc * st["A"] + st["B"], 0.0)
+    x_q = jnp.clip(jnp.round(z), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    if not pool:
+        return x_q
+    return jax.lax.reduce_window(
+        x_q, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
 
 
 def _stem_s2d_i8_xla(st, xs_u8):
@@ -298,14 +336,35 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                 if not _raw_fits(h2, w2):
                     b_ = images.shape[0]
                     u4 = images.reshape(b_, h2 * 2, w2 * 2, 4)
-            if u4 is None:
+            # "xla7" (opt-in, measured NET NEGATIVE e2e): the direct 7x7/2
+            # conv on XLA's native int8 conv engine.  Standalone it wins
+            # big (4.05 ms vs 10.6 for the Pallas stem incl. copies), but
+            # embedded in the pipeline XLA materializes the s32 acc to HBM
+            # (2.1 GB -> clamp_convert 4.0 ms) plus ~6.4 ms of boundary
+            # relayout copies the standalone probe never paid — e2e 1960
+            # img/s vs 2127 for the Pallas stem (PERF.md r3).
+            xla7 = (_os.environ.get("PODT_STEM_XLA7", "0") == "1"
+                    and "w7" in st)  # older exported qtrees lack w7
+            if xla7:
+                if u4 is None:  # undo the 5D view (free, row-major)
+                    b_, h2, _, w2, _ = images.shape
+                    u4 = images.reshape(b_, h2 * 2, w2 * 2, 4)
+                merged = (fuse_blocks and fuse_strided
+                          and _os.environ.get("PODT_MERGED_S1", "1") == "1")
+                from pytorch_object_detection_tpu.ops.pallas_pool import (
+                    qmaxpool3x3s2,
+                )
+
+                x_q = _stem_direct_i8_xla(st, u4, pool=False)
+                x_q = qmaxpool3x3s2(x_q, emit_merged=merged)
+                x_merged = merged
+            elif u4 is None:
                 raw_stem, xs = True, images
             else:
                 # measured at B=128 (PERF.md r3): transpose 1905 img/s e2e,
                 # kernel 1850, slice 1589 — XLA's 6D transpose beats both
                 # device-side alternatives (the kernel form pays a 5.2 ms
-                # arg relayout, not kernel cost), so it stays the default
-                # for 3/4-channel inputs; the 5D view above beats them all
+                # arg relayout, not kernel cost)
                 stem_form = _os.environ.get("PODT_RAW_STEM", "transpose")
                 raw_stem = stem_form == "kernel"
                 b_, h_, w_, _ = u4.shape
@@ -317,7 +376,9 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
                 else:
                     xs = space_to_depth(u4, 2)  # [B, H/2, W/2, 16] uint8
 
-            if _os.environ.get("PODT_STEM_POOL", "1") == "1":
+            if xla7:
+                pass  # x_q / x_merged already computed above
+            elif _os.environ.get("PODT_STEM_POOL", "1") == "1":
                 # 3x3/2 maxpool fused into the kernel epilogue: the
                 # full-res conv output never touches HBM (bit-identical).
                 # With the merged stage-1 chain on, the pool also emits the

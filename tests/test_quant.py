@@ -772,3 +772,70 @@ def test_qbottleneck_non_pow2_height():
     want = _ref_block(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
                       x.astype(jnp.float32) * 0.5)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_stem_direct_xla7_bit_exact_vs_s2d_oracle():
+    """The direct 7x7/2 XLA stem (_stem_direct_i8_xla) is bit-identical to
+    the s2d oracle: same quantized taps (the s2d rewrite is a linear
+    rearrangement), same padv borders, same epilogue."""
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.nn.resnet import ResNet50, space_to_depth
+    from pytorch_object_detection_tpu.nn.resnet_int8 import (
+        _stem_direct_i8_xla,
+        _stem_s2d_i8_xla,
+        calibrate_resnet50,
+        quantize_resnet50,
+    )
+
+    B, H = 2, 64
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    rng = np.random.default_rng(4)
+    u8 = jnp.asarray(rng.integers(0, 256, (B, H, H, 3)).astype(np.uint8))
+    x_f = (u8.astype(jnp.float32) / 255.0 - mean) / std
+    model = ResNet50()
+    v = jax.jit(lambda r, x: model.init(r, x, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, H, 3)))
+    calib = {k: float(x) for k, x in jax.jit(calibrate_resnet50)(v, x_f).items()}
+    q = quantize_resnet50(v, calib, mean, std)
+    st = q["stem_s2d"]
+
+    u4 = jnp.pad(u8, ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=jnp.uint8(128))
+    oracle = _stem_s2d_i8_xla(st, space_to_depth(u4, 2))
+    direct = _stem_direct_i8_xla(st, u4)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(oracle))
+    # the quantized 7x7 taps ARE the s2d taps rearranged (shared scale)
+    from pytorch_object_detection_tpu.nn.resnet import s2d_stem_kernel
+
+    w7pad = jnp.pad(st["w7"].astype(jnp.int32), ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k = w7pad.reshape(4, 2, 4, 2, 4, 64).transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 16, 64)
+    np.testing.assert_array_equal(np.asarray(k),
+                                  np.asarray(st["w"].reshape(4, 4, 16, 64), np.int32))
+
+
+def test_pallas_qmaxpool3x3s2_matches_reduce_window():
+    """3x3/2 pad-1 pool kernel (plain + merged emit) is bit-exact vs
+    reduce_window + row_pair_merge on stem-pool shapes, and the fallback
+    covers shapes the kernel rejects."""
+    from pytorch_object_detection_tpu.ops.pallas_pool import qmaxpool3x3s2
+    from pytorch_object_detection_tpu.ops.pallas_qblock import row_pair_merge
+
+    rng = np.random.default_rng(6)
+    for shape in [(2, 64, 64, 64), (1, 32, 64, 128)]:
+        x = jnp.asarray(rng.integers(-127, 128, shape).astype(np.int8))
+        ref = jax.lax.reduce_window(
+            x, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)])
+        np.testing.assert_array_equal(
+            np.asarray(qmaxpool3x3s2(x, interpret=True)), np.asarray(ref))
+        np.testing.assert_array_equal(
+            np.asarray(qmaxpool3x3s2(x, emit_merged=True, interpret=True)),
+            np.asarray(row_pair_merge(ref)))
+    # fallback shape (odd width)
+    x = jnp.asarray(rng.integers(-127, 128, (1, 16, 22, 64)).astype(np.int8))
+    ref = jax.lax.reduce_window(
+        x, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)])
+    np.testing.assert_array_equal(
+        np.asarray(qmaxpool3x3s2(x, emit_merged=True, interpret=True)),
+        np.asarray(row_pair_merge(ref)))
