@@ -164,14 +164,17 @@ def make_eval_pipeline_int8(
         quantize_head,
     )
 
+    backbone = getattr(model, "backbone", "resnet50")
     int8_fpn = (int8_fpn and isinstance(model, (HISFCOS, FCOS))
-                and getattr(model, "backbone", "resnet50") == "resnet50")
+                and (backbone == "resnet50"
+                     or backbone.startswith("efficientnet")))
     int8_head = int8_head and int8_fpn
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
     # u8 serving input: the normalize affine is folded into the exact s2d
     # stem kernel, so the float normalize pass disappears entirely
-    u8_input = int8_fpn
+    # (ResNet-only; the EfficientNet ladder takes normalized floats)
+    u8_input = int8_fpn and backbone == "resnet50"
     qtree = quantize_backbone(model, variables, calib_images, mean=mean, std=std)
     if int8_fpn:
         qfpn = quantize_fpn(model, variables, qtree, calib_images)

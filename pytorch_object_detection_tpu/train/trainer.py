@@ -368,14 +368,30 @@ def make_anchor_train_step(
 
 def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16,
                       mean=None, std=None):
-    """PTQ the ResNet-50 backbone of a FCOS-family detector.
+    """PTQ the backbone of a FCOS-family detector (ResNet-50 or
+    EfficientNet-B0 — dispatched on ``model.backbone``).
 
     Calibrates activation scales on ``calib_images`` (a representative
     NORMALIZED batch) and returns the int8 qtree for
     :func:`make_eval_forward_int8`.  ``mean``/``std`` (the input-normalize
-    constants; ImageNet defaults) enable the exact uint8 s2d stem path.
+    constants; ImageNet defaults) enable the exact uint8 s2d stem path
+    (ResNet only).
     """
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    bb_vars = {
+        "params": variables["params"]["backbone"],
+        "batch_stats": variables["batch_stats"]["backbone"],
+    }
+    if getattr(model, "backbone", "resnet50").startswith("efficientnet"):
+        from pytorch_object_detection_tpu.nn.efficientnet_int8 import (
+            calibrate_efficientnet,
+            quantize_efficientnet,
+        )
+
+        taps = jax.jit(calibrate_efficientnet)(bb_vars, calib_images)
+        taps = {k: float(v) for k, v in taps.items()}
+        return quantize_efficientnet(bb_vars, taps)
     from pytorch_object_detection_tpu.nn.resnet_int8 import (
         calibrate_resnet50,
         quantize_resnet50,
@@ -383,15 +399,29 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
 
     mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
     std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
-    bb_vars = {
-        "params": variables["params"]["backbone"],
-        "batch_stats": variables["batch_stats"]["backbone"],
-    }
     taps = jax.jit(functools.partial(calibrate_resnet50, compute_dtype=compute_dtype))(
         bb_vars, calib_images
     )
     taps = {k: float(v) for k, v in taps.items()}
     return jax.jit(functools.partial(quantize_resnet50))(bb_vars, taps, mean, std)
+
+
+def _backbone_int8_feats(model, qtree_bb, images, **kw):
+    """(C3..C5) int8 + scales through the model's int8 backbone ladder
+    (dispatch shared by quantize_fpn / quantize_head /
+    make_eval_forward_int8)."""
+    if getattr(model, "backbone", "resnet50").startswith("efficientnet"):
+        from pytorch_object_detection_tpu.nn.efficientnet_int8 import (
+            efficientnet_int8_forward,
+        )
+
+        return efficientnet_int8_forward(qtree_bb, images, jnp.float32,
+                                         dequant=False)
+    from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
+
+    kw.setdefault("backend", "xla")
+    return resnet50_int8_forward(qtree_bb, images, jnp.float32, dequant=False,
+                                 **kw)
 
 
 def quantize_fpn(model, variables, qtree_bb, calib_images,
@@ -407,12 +437,10 @@ def quantize_fpn(model, variables, qtree_bb, calib_images,
     ``make_eval_forward_int8(..., int8_fpn=True)``.
     """
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
-    from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
 
     feats_q, scales = jax.jit(
-        functools.partial(resnet50_int8_forward, compute_dtype=jnp.float32,
-                          backend="xla", dequant=False)
-    )(qtree_bb, calib_images)
+        lambda im: _backbone_int8_feats(model, qtree_bb, im)
+    )(calib_images)
     feats = tuple(q.astype(jnp.float32) * s for q, s in zip(feats_q, scales))
     if isinstance(model, HISFCOS):
         from pytorch_object_detection_tpu.nn.fpn_int8 import (
@@ -447,7 +475,6 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
     int8 FPN's (dequantized) levels and returns the head qtree for
     ``make_eval_forward_int8(..., int8_head=True)``."""
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
-    from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
 
     is_his = isinstance(model, HISFCOS)
     if is_his:
@@ -461,8 +488,7 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
 
     @jax.jit
     def levels_of(images):
-        feats_q, _ = resnet50_int8_forward(qtree_bb, images, jnp.float32,
-                                           backend="xla", dequant=False)
+        feats_q, _ = _backbone_int8_feats(model, qtree_bb, images)
         lq, sc = fpn_fwd(qtree_fpn, feats_q, dequant=False)
         return tuple(q.astype(jnp.float32) * s for q, s in zip(lq, sc)), sc
 
@@ -513,8 +539,10 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
     from pytorch_object_detection_tpu.nn.resnet_int8 import resnet50_int8_forward
     from pytorch_object_detection_tpu.utils.gradcam import _fpn_head_for
 
-    assert getattr(model, "backbone", "resnet50") == "resnet50", (
-        "int8 PTQ path currently supports the ResNet-50 backbone"
+    is_effnet = getattr(model, "backbone", "resnet50").startswith("efficientnet")
+    assert not (is_effnet and u8_input), (
+        "the exact uint8 stem path is ResNet-only; EfficientNet takes "
+        "normalized float images"
     )
     fpn_mod, head_mod = _fpn_head_for(model)
 
@@ -531,10 +559,19 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
 
             is_his = isinstance(model, _HISF)
             sub = "pallas" if backend != "xla" else "xla"
-            feats_q, _ = resnet50_int8_forward(
-                qtree["backbone"], images, compute_dtype, backend=backend,
-                fuse_strided=fuse_strided, dequant=False, u8_stem=u8_input,
-            )
+            if is_effnet:
+                from pytorch_object_detection_tpu.nn.efficientnet_int8 import (
+                    efficientnet_int8_forward,
+                )
+
+                feats_q, _ = efficientnet_int8_forward(
+                    qtree["backbone"], images, compute_dtype, dequant=False
+                )
+            else:
+                feats_q, _ = resnet50_int8_forward(
+                    qtree["backbone"], images, compute_dtype, backend=backend,
+                    fuse_strided=fuse_strided, dequant=False, u8_stem=u8_input,
+                )
             if not is_his:
                 # classic FCOS ladder (models/fcos_int8.py; XLA int8 convs)
                 from pytorch_object_detection_tpu.models.fcos_int8 import (
@@ -583,8 +620,17 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
             f32 = lambda xs: [x.astype(jnp.float32) for x in xs]
             return f32(cls_l), f32(cnt_l), f32(reg_l)
 
-        feats = resnet50_int8_forward(qtree, images, compute_dtype, backend=backend,
-                                      fuse_strided=fuse_strided, u8_stem=u8_input)
+        if is_effnet:
+            from pytorch_object_detection_tpu.nn.efficientnet_int8 import (
+                efficientnet_int8_forward,
+            )
+
+            feats = efficientnet_int8_forward(qtree, images, compute_dtype)
+        else:
+            feats = resnet50_int8_forward(qtree, images, compute_dtype,
+                                          backend=backend,
+                                          fuse_strided=fuse_strided,
+                                          u8_stem=u8_input)
         fpn_vars = {"params": _cast_tree(params["fpn"], compute_dtype)}
         if batch_stats and "fpn" in batch_stats:
             fpn_vars["batch_stats"] = _cast_tree(batch_stats["fpn"], compute_dtype)

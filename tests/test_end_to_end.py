@@ -475,3 +475,36 @@ def test_device_resize_eval_pipeline(tmp_path):
                       verbose=False, pipeline=pipe8)
     assert r8["num_images"] == 4
     assert np.isfinite(r8["mAP"])
+
+
+def test_efficientnet_fcos_int8_eval_pipeline(tmp_path):
+    """BASELINE config 4 (EfficientNet-B0 FCOS, the depthwise variant)
+    through the int8 serving pipeline: quantized MBConv backbone + classic
+    FPN + tower head, decode/NMS — full VOC harness mechanics."""
+    from pytorch_object_detection_tpu.data.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        DetectionLoader,
+    )
+    from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline_int8
+    from pytorch_object_detection_tpu.models.fcos import FCOS
+
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root, n=4)
+    dataset = VOCDataset(root, "trainval", canvas_hw=HW)
+    model = FCOS(num_classes=20, features=64, backbone="efficientnet-b0")
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *HW, 3))
+
+    calib_batch = next(iter(DetectionLoader(dataset, 4, shuffle=False,
+                                            drop_last=False, num_workers=2)))
+    calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
+             - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    pipe8 = make_eval_pipeline_int8(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        calib, STRIDES, HW, nms_impl="fixpoint", backend="xla",
+    )
+    r8 = evaluate_voc(model, state.params, state.batch_stats, dataset,
+                      strides=STRIDES, batch_size=4, num_workers=2,
+                      verbose=False, pipeline=pipe8)
+    assert r8["num_images"] == 4
+    assert np.isfinite(r8["mAP"])

@@ -839,3 +839,93 @@ def test_pallas_qmaxpool3x3s2_matches_reduce_window():
     np.testing.assert_array_equal(
         np.asarray(qmaxpool3x3s2(x, emit_merged=True, interpret=True)),
         np.asarray(row_pair_merge(ref)))
+
+
+def test_efficientnet_int8_backbone_close_to_float():
+    """EfficientNet-B0 int8 ladder (nn/efficientnet_int8.py): every MBConv
+    conv (1x1 MXU + depthwise grouped) int8, SE/swish in the f32 epilogue —
+    endpoints track the float backbone (BASELINE config 4: the depthwise
+    variant, reference model/backbone/efficientnetv1.py:11-26)."""
+    from pytorch_object_detection_tpu.nn.efficientnet import EfficientNet
+    from pytorch_object_detection_tpu.nn.efficientnet_int8 import (
+        calibrate_efficientnet,
+        efficientnet_int8_forward,
+        quantize_efficientnet,
+    )
+
+    model = EfficientNet.b0()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.5
+    v = jax.jit(lambda r, x: model.init(r, x, False))(rng, x)
+    # at random init the silu/SE gates shrink activations ~4x per block
+    # (deep endpoints ~1e-9) and int8 noise swamps them; warm the BN
+    # running stats toward the real batch stats (what trained checkpoints
+    # carry) so the folded BN rescales each block to O(1) — the regime the
+    # ladder serves in
+    warm = jax.jit(lambda v, x: model.apply(v, x, True, mutable=["batch_stats"]))
+    for _ in range(30):
+        _, upd = warm(v, x)
+        v = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+
+    taps = {k: float(t) for k, t in
+            jax.jit(calibrate_efficientnet)(v, x).items()}
+    qtree = quantize_efficientnet(v, taps)
+    ref = model.apply(v, x, False)[-3:]
+    got = jax.jit(lambda im: efficientnet_int8_forward(qtree, im, jnp.float32))(x)
+    for i, (g, w) in enumerate(zip(got, ref)):
+        assert g.shape == w.shape, (i, g.shape, w.shape)
+        assert _cos(g, w) > 0.98, (i, _cos(g, w))
+    # int8 contract for the FPN ladder
+    feats_q, scales = efficientnet_int8_forward(qtree, x, dequant=False)
+    for f, s, w in zip(feats_q, scales, ref):
+        assert f.dtype == jnp.int8
+        assert _cos(f.astype(jnp.float32) * s, w) > 0.98
+
+
+def test_fcos_efficientnet_int8_full_eval_forward():
+    """Full FCOS + EfficientNet-B0 int8 ladder (backbone + classic FPN +
+    tower head) through the quantize_* API and make_eval_forward_int8."""
+    from pytorch_object_detection_tpu.models.fcos import FCOS
+    from pytorch_object_detection_tpu.train.trainer import (
+        create_train_state,
+        make_eval_forward,
+        make_eval_forward_int8,
+        quantize_backbone,
+        quantize_fpn,
+        quantize_head,
+    )
+
+    hw = (64, 64)
+    model = FCOS(num_classes=20, features=64, backbone="efficientnet-b0",
+                 freeze_bn=False)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *hw, 3))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    calib = jax.random.normal(jax.random.PRNGKey(2), (2, *hw, 3)) * 0.5
+    # warm BN running stats (see the backbone test for why)
+    warm = jax.jit(lambda v, x: model.apply(v, x, True, mutable=["batch_stats"]))
+    for _ in range(30):
+        _, upd = warm(variables, calib)
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+    state = state.replace(batch_stats=variables["batch_stats"])
+
+    qbb = quantize_backbone(model, variables, calib)
+    qfpn = quantize_fpn(model, variables, qbb, calib)
+    qhead = quantize_head(model, variables, qbb, qfpn, calib)
+    qtree = {"backbone": qbb, "fpn": qfpn, "head": qhead}
+
+    fwd8 = make_eval_forward_int8(model, backend="xla", int8_fpn=True,
+                                  int8_head=True)
+    cls8, cnt8, reg8 = jax.jit(fwd8)(qtree, state.params, state.batch_stats, calib)
+    fwd = make_eval_forward(model, jnp.float32)
+    cls, cnt, reg = jax.jit(fwd)(state.params, state.batch_stats, calib)
+    for i in range(5):
+        assert cls8[i].shape == cls[i].shape
+        assert np.isfinite(np.asarray(cls8[i])).all()
+        assert _cos(cls8[i], cls[i]) > 0.98, (i, _cos(cls8[i], cls[i]))
+        assert _cos(reg8[i], reg[i]) > 0.98, (i, _cos(reg8[i], reg[i]))
+    # backbone-only int8 (float FPN/head) path also dispatches
+    fwd8bb = make_eval_forward_int8(model, backend="xla")
+    cls8b, _, reg8b = jax.jit(fwd8bb)(qbb, state.params, state.batch_stats, calib)
+    for i in range(5):
+        assert _cos(cls8b[i], cls[i]) > 0.98, i
