@@ -50,7 +50,8 @@ def _clip8(x):
 
 
 def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *carry_s,
-                  hs, ws, row_chunk, pool, emit_merged=False, raw=False):
+                  hs, ws, row_chunk, pool, emit_merged=False, raw=False,
+                  kxdots=False):
     # pool: scale rows are channel-tiled to 128 for the block-diag dot
     a_row = sc_ref[0, :]
     b_row = sc_ref[1, :]
@@ -86,6 +87,62 @@ def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *carry_s,
         # lane-concat of sublane-OFFSET slices ("offset mismatch on
         # non-concat dimension"), so each shifted piece is materialized by
         # the same concat-shift pattern the block kernels use
+        if kxdots:
+            # v2 (r3): smaller im2col + accumulating ky-tap dots.  Mosaic
+            # lane-merge reshapes need a >=128-lane SOURCE (a 64->128 2D
+            # merge is an unsupported shape cast — measured), which fixes
+            # the factoring per mode:
+            #   * no pool: im2col over kx only (4 pieces, 64 lanes) + 4
+            #     accumulating K=64 dots over sublane-aligned row-offset
+            #     slices of the flattened im2col (4x less concat volume,
+            #     4x smaller im2col VMEM than the 16-piece form);
+            #   * pool: im2col over (ky in {0,1}) x kx (8 pieces, 128
+            #     lanes — mergeable to column pairs) + 2 accumulating
+            #     K=256 dots, the second over a +2-row offset slice
+            #     (2x less concat volume, 2x smaller im2col).
+            # MXU work is unchanged (same total K, same column-pair kron
+            # half-density in the pool form).
+            nrows = row_chunk + KTAP - 1  # band rows
+            nky = 1 if not pool else 2  # ky taps folded into im2col lanes
+            nim = nrows - (nky - 1)  # im2col rows
+            pieces = []
+            for ky in range(nky):
+                rows = band[ky:ky + nim]
+                for kx in range(KTAP):
+                    off = kx - 2  # window cols q-2 .. q+1
+                    if off == 0:
+                        piece = rows
+                    elif off < 0:
+                        fill = jnp.broadcast_to(
+                            padv.reshape(1, 1, S2D_C), (nim, -off, S2D_C))
+                        piece = jnp.concatenate(
+                            [fill, rows[:, :ws + off]], axis=1)
+                    else:
+                        fill = jnp.broadcast_to(
+                            padv.reshape(1, 1, S2D_C), (nim, off, S2D_C))
+                        piece = jnp.concatenate(
+                            [rows[:, off:], fill], axis=1)
+                    pieces.append(piece)
+            kim = jnp.concatenate(pieces, axis=-1)  # [nim, ws, nky*4*S2D_C]
+            if not pool:
+                flat = kim.reshape(nim * ws, KTAP * S2D_C)
+                acc = _dot_i8(flat[:row_chunk * ws], w_ref[0])
+                for ky in range(1, KTAP):
+                    acc += _dot_i8(
+                        flat[ky * ws:(ky + row_chunk) * ws], w_ref[ky])
+                z = acc.astype(jnp.float32) * a_row + b_row
+                out_ref[0, r0 * ws:(r0 + row_chunk) * ws] = _clip8(
+                    jnp.maximum(z, 0.0))
+                continue
+            wp = ws // 2
+            kw = 2 * nky * KTAP * S2D_C  # column-pair dot K (256)
+            flat = kim.reshape(nim, wp, kw).reshape(nim * wp, kw)
+            acc = _dot_i8(flat[:row_chunk * wp], w_ref[0])
+            acc += _dot_i8(flat[2 * wp:(2 + row_chunk) * wp], w_ref[1])
+            zm = jnp.maximum(acc.astype(jnp.float32) * a_row + b_row, 0.0)
+            _qstem_pool_epilogue(zm, out_ref, carry_s[0], r0, row_chunk, wp,
+                                 emit_merged)
+            continue
         pieces = []
         for ky in range(KTAP):
             rows = band[ky:ky + row_chunk]
@@ -129,41 +186,49 @@ def _qstem_kernel(x_ref, w_ref, sc_ref, pad_ref, out_ref, *carry_s,
         # ([pool row 2q | 2q+1]) — the layout the merged stage-1 bottleneck
         # kernels consume — so no XLA relayout ever materializes.
         (carry,) = carry_s
-        wp, pc = ws // 2, row_chunk // 2
+        wp = ws // 2
         k2 = KTAP * KTAP * S2D_C
         win_m = win.reshape(row_chunk, wp, 2 * k2)  # cols 2c | 2c+1
         acc = _dot_i8(win_m.reshape(row_chunk * wp, 2 * k2), w_ref[:])
         zm = jnp.maximum(acc.astype(jnp.float32) * a_row + b_row, 0.0)
-        # zm [rc*wp, 128] f32 >= 0; lanes = [col 2c | col 2c+1]
-        pend = []
-        for i in range(pc):
-            re_ = zm[(2 * i) * wp:(2 * i + 1) * wp]      # conv row 2p
-            ro = zm[(2 * i + 1) * wp:(2 * i + 2) * wp]   # conv row 2p+1
-            if i > 0:
-                prev = zm[(2 * i - 1) * wp:(2 * i) * wp]  # conv row 2p-1
-            elif r0 == 0:
-                prev = jnp.full((wp, 2 * COUT), -1.0, jnp.float32)
-            else:
-                prev = carry[0]
-            rmax = jnp.maximum(jnp.maximum(re_, ro), prev)  # [wp, 128]
-            rm_prev = jnp.concatenate(
-                [jnp.full((1, 2 * COUT), -1.0, jnp.float32), rmax[:-1]], axis=0)
-            e_col, o_col = rmax[:, :COUT], rmax[:, COUT:]   # cols 2c | 2c+1
-            pool_row = _clip8(jnp.maximum(
-                jnp.maximum(e_col, o_col), rm_prev[:, COUT:]))  # [wp, 64]
-            p = r0 // 2 + i
-            if not emit_merged:
-                out_ref[0, p] = pool_row
-            elif p % 2 == 0:
-                pend.append(pool_row)
-            else:
-                out_ref[0, p // 2] = jnp.concatenate([pend.pop(), pool_row], axis=-1)
-        carry[0] = zm[(row_chunk - 1) * wp:]
+        _qstem_pool_epilogue(zm, out_ref, carry, r0, row_chunk, wp,
+                             emit_merged)
+
+
+def _qstem_pool_epilogue(zm, out_ref, carry, r0, row_chunk, wp, emit_merged):
+    """Fused 3x3/2 maxpool on the RELU'd conv rows (see the Mosaic
+    constraints comment at the call site in _qstem_kernel)."""
+    # zm [rc*wp, 128] f32 >= 0; lanes = [col 2c | col 2c+1]
+    pend = []
+    for i in range(row_chunk // 2):
+        re_ = zm[(2 * i) * wp:(2 * i + 1) * wp]      # conv row 2p
+        ro = zm[(2 * i + 1) * wp:(2 * i + 2) * wp]   # conv row 2p+1
+        if i > 0:
+            prev = zm[(2 * i - 1) * wp:(2 * i) * wp]  # conv row 2p-1
+        elif r0 == 0:
+            prev = jnp.full((wp, 2 * COUT), -1.0, jnp.float32)
+        else:
+            prev = carry[0]
+        rmax = jnp.maximum(jnp.maximum(re_, ro), prev)  # [wp, 128]
+        rm_prev = jnp.concatenate(
+            [jnp.full((1, 2 * COUT), -1.0, jnp.float32), rmax[:-1]], axis=0)
+        e_col, o_col = rmax[:, :COUT], rmax[:, COUT:]   # cols 2c | 2c+1
+        pool_row = _clip8(jnp.maximum(
+            jnp.maximum(e_col, o_col), rm_prev[:, COUT:]))  # [wp, 64]
+        p = r0 // 2 + i
+        if not emit_merged:
+            out_ref[0, p] = pool_row
+        elif p % 2 == 0:
+            pend.append(pool_row)
+        else:
+            out_ref[0, p // 2] = jnp.concatenate([pend.pop(), pool_row], axis=-1)
+    carry[0] = zm[(row_chunk - 1) * wp:]
 
 
 def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
                pool: bool = False, emit_merged: bool = False,
-               raw: bool = False, interpret: bool = False):
+               raw: bool = False, kxdots: bool = True,
+               interpret: bool = False):
     """int8 s2d stem conv: [B, 256, 256, 16] uint8 -> [B, 256, 256, 64] int8.
 
     xs2d: space_to_depth of the channel-padded RAW uint8 image (the
@@ -201,9 +266,19 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
         row_chunk //= 2
     assert row_chunk >= 1 and not (pool and (hs % 2 or ws % 2))
 
-    if pool:
+    if kxdots:
+        # v2 weights: [ndots, K, N] — one dot operand per ky tap (group).
+        # w2d's K ordering is (ky, kx, c): tap ky owns rows ky*64:(ky+1)*64
+        if pool:
+            wk = w2d.reshape(2, 2 * KTAP * S2D_C, COUT)  # ky pairs {0,1},{2,3}
+            w2d = jax.vmap(
+                lambda w: jnp.kron(jnp.eye(2, dtype=w.dtype), w))(wk)
+        else:
+            w2d = w2d.reshape(KTAP, KTAP * S2D_C, COUT)
+    elif pool:
         # column-pair dot: block-diag weights produce [col 2c | 2c+1] lanes
         w2d = jnp.kron(jnp.eye(2, dtype=w2d.dtype), w2d)  # [2K, 128]
+    if pool:
         tile2 = lambda v: jnp.tile(jnp.asarray(v, jnp.float32).reshape(-1), 2)
         a, b = tile2(a), tile2(b)
     scales = jnp.stack([
@@ -213,7 +288,8 @@ def qstem_conv(xs2d, w2d, a, b, padvec, *, row_chunk: int = 32,
     pad2d = jnp.asarray(padvec, jnp.int8).reshape(1, S2D_C)
 
     kern = functools.partial(_qstem_kernel, hs=hs, ws=ws, row_chunk=row_chunk,
-                             pool=pool, emit_merged=emit_merged, raw=raw)
+                             pool=pool, emit_merged=emit_merged, raw=raw,
+                             kxdots=kxdots)
     whole = lambda *shape: pl.BlockSpec(shape, lambda bi: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     if pool:
