@@ -101,6 +101,7 @@ class VOCDataset:
         augment=None,
         raw_tiles: bool = False,
         tile_hw: Optional[Tuple[int, int]] = None,
+        cache_decoded: bool = False,
     ):
         """``raw_tiles=True``: skip the host cv2 resize — samples carry the
         decoded image in a fixed uint8 tile (edge-replicated, see
@@ -108,6 +109,11 @@ class VOCDataset:
         the aspect-preserving resize then runs batched ON DEVICE
         (data/pipeline.make_device_resize).  Boxes are still host-scaled to
         canvas coordinates (the scale is pure arithmetic — no image work).
+
+        ``cache_decoded=True``: keep each decoded image + parsed annotation
+        in memory after first access (small-dataset convergence runs on the
+        1-core host are decode-bound; the random augment still runs per
+        access, so epochs stay stochastic).
         """
         if isinstance(root_dirs, (str, os.PathLike)):
             root_dirs = [root_dirs]
@@ -116,6 +122,7 @@ class VOCDataset:
         self.augment = augment
         self.raw_tiles = raw_tiles
         self.tile_hw = tile_hw or (canvas_hw[0], canvas_hw[1])
+        self._decoded: Optional[dict] = {} if cache_decoded else None
         self.items: List[Tuple[str, str]] = []  # (root, image_id)
         for root in root_dirs:
             listing = os.path.join(root, "ImageSets", "Main", f"{split}.txt")
@@ -128,13 +135,19 @@ class VOCDataset:
         return len(self.items)
 
     def __getitem__(self, index: int) -> Sample:
-        from PIL import Image
-
         root, img_id = self.items[index]
-        img = np.asarray(Image.open(os.path.join(root, "JPEGImages", f"{img_id}.jpg")).convert("RGB"))
-        boxes, labels = parse_voc_xml(
-            os.path.join(root, "Annotations", f"{img_id}.xml"), self.use_difficult
-        )
+        if self._decoded is not None and index in self._decoded:
+            img, boxes, labels = self._decoded[index]
+            boxes = boxes.copy()  # downstream scales in place of this ref
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(os.path.join(root, "JPEGImages", f"{img_id}.jpg")).convert("RGB"))
+            boxes, labels = parse_voc_xml(
+                os.path.join(root, "Annotations", f"{img_id}.xml"), self.use_difficult
+            )
+            if self._decoded is not None:
+                self._decoded[index] = (img, boxes.copy(), labels)
         if self.augment is not None:
             img, boxes = self.augment(img, boxes)
         if self.raw_tiles:

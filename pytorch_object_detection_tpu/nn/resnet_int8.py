@@ -445,6 +445,61 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
         )
         x_q = quantize_act(x, qtree["stem_scale"])
 
+    import os as _os
+
+    if (fuse_blocks and fuse_strided
+            and _os.environ.get("PODT_QCHAIN", "0") == "1"):
+        # chained-segment kernels: one pallas_call per backbone segment
+        # ([layer1_0..layer2_3] -> C3, [layer3_*] -> C4, [layer4_*] -> C5);
+        # intermediate block activations live in VMEM scratch and never
+        # touch HBM (ops/pallas_qchain).  plan_chains splits a segment
+        # when the canvas makes it overflow VMEM (COCO 896x1408).
+        from pytorch_object_detection_tpu.ops.pallas_qchain import (
+            plan_chains,
+            qchain,
+        )
+
+        def _blkdict(scope, kind, merged):
+            blk = qtree[scope]
+            cw = blk["w1"].shape[-1]
+            d = dict(
+                kind=kind, merged=merged,
+                w1=blk["w1"].reshape(-1, cw), w2=blk["w2"],
+                w3=blk["w3"].reshape(cw, -1),
+                A1=blk["A1"], B1=blk["B1"], A2=blk["A2"], B2=blk["B2"],
+                A3=blk["A3"], B3=blk["B3"],
+            )
+            if "wd" in blk:
+                d.update(wd=blk["wd"].reshape(blk["wd"].shape[-2:]),
+                         Ad=blk["Ad"], Bd=blk["Bd"])
+            else:
+                d["short_mul"] = blk["short_mul"]
+            return d
+
+        segs = [
+            [("layer1_%d" % i, "s1") for i in range(3)]
+            + [("layer2_0", "s2")]
+            + [("layer2_%d" % i, "s1") for i in range(1, 4)],
+            [("layer3_0", "s2")] + [("layer3_%d" % i, "s1") for i in range(1, 6)],
+            [("layer4_0", "s2")] + [("layer4_%d" % i, "s1") for i in range(1, 3)],
+        ]
+        outputs = []
+        cur, merged = x_q, x_merged
+        for si, seg in enumerate(segs):
+            blocks = []
+            for scope, kind in seg:
+                blocks.append(_blkdict(scope, kind, merged))
+                if kind == "s2":
+                    merged = False
+            for idxs in plan_chains(cur.shape[1:], blocks):
+                cur = qchain(cur, [blocks[i] for i in idxs])
+            outputs.append((cur, qtree[seg[-1][0]]["out_scale"]))
+        if not dequant:
+            return tuple(q for q, _ in outputs), tuple(s for _, s in outputs)
+        return tuple(
+            (q.astype(jnp.float32) * s).astype(compute_dtype) for q, s in outputs
+        )
+
     outputs = []
     for stage, blocks in enumerate(STAGE_SIZES):
         for b in range(blocks):

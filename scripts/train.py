@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_dataset(cfg, train: bool = True):
+def build_dataset(cfg, train: bool = True, cache_decoded: bool = False):
     from pytorch_object_detection_tpu.core.config import canvas_hw
     from pytorch_object_detection_tpu.data.augment import HostAugment
 
@@ -37,7 +37,8 @@ def build_dataset(cfg, train: bool = True):
 
         if train:
             roots = [p for p in (ds_cfg.get("train_07"), ds_cfg.get("train_12")) if p]
-            return VOCDataset(roots, ds_cfg.get("type", "trainval"), canvas, augment=augment)
+            return VOCDataset(roots, ds_cfg.get("type", "trainval"), canvas,
+                              augment=augment, cache_decoded=cache_decoded)
         return VOCDataset([ds_cfg.get("test_07", ds_cfg.get("train_07"))], "test", canvas)
     else:
         from pytorch_object_detection_tpu.data.coco import COCODataset
@@ -75,6 +76,18 @@ def main():
     ap.add_argument("--log-every", type=int, default=20)
     ap.add_argument("--eval-every", type=int, default=0,
                     help="run VOC/COCO eval every N epochs (0 = off); tracks best mAP")
+    ap.add_argument("--ckpt-every", type=int, default=1,
+                    help="save the rolling checkpoint every N epochs (preemption "
+                         "checkpoints are always written). On short epochs the "
+                         "per-epoch orbax save dominates wall time — raise this "
+                         "for small-dataset convergence runs")
+    ap.add_argument("--cache-decoded", action="store_true",
+                    help="cache decoded images in memory across epochs (small "
+                         "datasets; augmentation still randomizes per epoch)")
+    ap.add_argument("--nan-check-every", type=int, default=1,
+                    help="fetch the pipelined loss scalar every N steps. Each fetch "
+                         "is a host roundtrip (~24 ms on the axon tunnel) that paces "
+                         "the loop; N>1 trades NaN-halt latency for throughput")
     args = ap.parse_args()
 
     from pytorch_object_detection_tpu.core import config as C
@@ -151,7 +164,7 @@ def main():
 
         epochs, loader = 1, batches()
     else:
-        dataset = build_dataset(cfg, train=True)
+        dataset = build_dataset(cfg, train=True, cache_decoded=args.cache_decoded)
         loader = DetectionLoader(
             dataset, batch_size, max_boxes=int(cfg["dataset_setting"].get("max_boxes", 64)),
             num_workers=int(cfg["dataset_setting"].get("num_workers", 8)),
@@ -189,9 +202,11 @@ def main():
                 lbls = jnp.asarray(labels)
             state, metrics = train_step(state, imgs, bxs, lbls)
             step_count += 1
-            # NaN guard every step, pipelined one step behind: fetch the
-            # PREVIOUS step's total while this one runs (no device stall).
-            if prev_total is not None and not np.isfinite(float(prev_total)):
+            # NaN guard, pipelined one step behind: fetch the PREVIOUS
+            # step's total while this one runs (no device stall).  The
+            # fetch itself is a tunnel roundtrip, so its cadence is a flag.
+            if (prev_total is not None and step_count % args.nan_check_every == 0
+                    and not np.isfinite(float(prev_total))):
                 print(f"NON-FINITE loss at step {step_count - 1} — stopping", flush=True)
                 done = True
                 break
@@ -214,7 +229,8 @@ def main():
                 if interrupted["flag"] and jax.process_index() == 0:
                     ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
                 break
-        if jax.process_index() == 0 and not args.synthetic:
+        if (jax.process_index() == 0 and not args.synthetic
+                and ((epoch + 1) % args.ckpt_every == 0 or done or epoch + 1 == epochs)):
             ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
         if (
             args.eval_every

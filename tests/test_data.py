@@ -49,6 +49,23 @@ def test_voc_parse_and_difficult_filter(tmp_path):
     assert len(boxes2) == 2
 
 
+def test_voc_cache_decoded_identical_samples(tmp_path):
+    """cache_decoded serves identical samples on repeat access (no decode),
+    and cached state is not corrupted by downstream in-place edits."""
+    root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(root)
+    ds = VOCDataset(root, "trainval", canvas_hw=(256, 256), cache_decoded=True)
+    a = ds[0]
+    assert 0 in ds._decoded
+    a.boxes[:] = -5.0  # hostile caller mutation must not poison the cache
+    b = ds[0]
+    np.testing.assert_array_equal(a.image, b.image)
+    assert (b.boxes >= 0).all()
+    c = VOCDataset(root, "trainval", canvas_hw=(256, 256))[0]
+    np.testing.assert_array_equal(b.image, c.image)
+    np.testing.assert_array_equal(b.boxes, c.boxes)
+
+
 def test_resize_to_canvas_geometry():
     img = np.zeros((200, 400, 3), np.uint8)
     boxes = np.array([[0.0, 0.0, 400.0, 200.0]], np.float32)

@@ -245,6 +245,88 @@ def test_qbottleneck_s2_interpret_exact():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_qchain_bit_exact_vs_per_block():
+    """Chained-segment kernel (ops/pallas_qchain) == the per-block kernels
+    bit-wise across a merged stage-1 -> stride-2 -> canonical stage-2 mini
+    segment and a canonical s2-led segment — intermediates moving from HBM
+    to VMEM scratch must not change a single value."""
+    from pytorch_object_detection_tpu.ops.pallas_qblock import (
+        qbottleneck,
+        qbottleneck_s2,
+        row_pair_merge,
+    )
+    from pytorch_object_detection_tpu.ops.pallas_qchain import plan_chains, qchain
+
+    rng = np.random.RandomState(11)
+
+    def vec(n, s=1e-3):
+        return jnp.asarray(np.abs(rng.randn(n)).astype(np.float32) * s)
+
+    def mkblk(kind, cin, cw, cout, ds, merged=False):
+        blk = dict(
+            kind=kind, merged=merged,
+            w1=jnp.asarray(rng.randint(-16, 16, (cin, cw)).astype(np.int8)),
+            w2=jnp.asarray(rng.randint(-8, 8, (3, 3, cw, cw)).astype(np.int8)),
+            w3=jnp.asarray(rng.randint(-16, 16, (cw, cout)).astype(np.int8)),
+            A1=vec(cw), B1=vec(cw, .1), A2=vec(cw), B2=vec(cw, .1),
+            A3=vec(cout), B3=vec(cout, .1),
+        )
+        if ds:
+            blk.update(wd=jnp.asarray(rng.randint(-16, 16, (cin, cout)).astype(np.int8)),
+                       Ad=vec(cout), Bd=vec(cout, .1))
+        else:
+            blk["short_mul"] = 0.5
+        return blk
+
+    def run_ref(x, blocks):
+        for blk in blocks:
+            common = (x, blk["w1"], blk["w2"], blk["w3"])
+            sc = (blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["A3"], blk["B3"])
+            if blk["kind"] == "s1":
+                kw = (dict(wd=blk["wd"], ad=blk["Ad"], bd=blk["Bd"])
+                      if "wd" in blk else dict(short_mul=blk["short_mul"]))
+                x = qbottleneck(*common, *sc, merged=blk["merged"],
+                                interpret=True, **kw)
+            else:
+                x = qbottleneck_s2(*common, blk["wd"], *sc, blk["Ad"], blk["Bd"],
+                                   merged_in=blk["merged"], interpret=True)
+        return x
+
+    B, H, W, C = 2, 16, 32, 64
+    x = jnp.asarray(rng.randint(-127, 128, (B, H, W, C)).astype(np.int8))
+    xm = row_pair_merge(x)
+    blocks = [
+        mkblk("s1", C, 16, 64, ds=True, merged=True),
+        mkblk("s1", 64, 16, 64, ds=False, merged=True),
+        mkblk("s2", 64, 32, 96, ds=True, merged=True),
+        mkblk("s1", 96, 32, 96, ds=False),
+    ]
+    want = run_ref(xm, blocks)
+    got = qchain(xm, blocks, rc_s1=4, rc_s2=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    x2 = jnp.asarray(rng.randint(-127, 128, (B, 8, 16, 96)).astype(np.int8))
+    blocks2 = [
+        mkblk("s2", 96, 32, 128, ds=True),
+        mkblk("s1", 128, 32, 128, ds=False),
+        mkblk("s1", 128, 32, 128, ds=False),
+    ]
+    want2 = run_ref(x2, blocks2)
+    got2 = qchain(x2, blocks2, rc_s1=4, rc_s2=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+
+    # plan_chains: tiny budget splits but covers in order; giant budget = one
+    groups = plan_chains((16, 32, C * 2), blocks, budget_bytes=6000)
+    assert [i for g in groups for i in g] == [0, 1, 2, 3] and len(groups) > 1
+    assert plan_chains((16, 32, C * 2), blocks) == [[0, 1, 2, 3]]
+    # split chains still bit-exact
+    parts = xm
+    for g in groups:
+        parts = qchain(parts, [blocks[i] for i in g], rc_s1=4, rc_s2=2,
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(parts), np.asarray(want))
+
+
 def test_fused_head_matches_hishead():
     """Whole-head Pallas kernel tracks HISHead.apply within bf16 tolerance."""
     from pytorch_object_detection_tpu.models.heads import HISHead
