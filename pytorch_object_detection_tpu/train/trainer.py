@@ -455,6 +455,21 @@ def quantize_fpn(model, variables, qtree_bb, calib_images,
         return jax.jit(quantize_hisfpn)(
             variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps, scales
         )
+    from pytorch_object_detection_tpu.models.fcos import MNFCOS
+
+    if isinstance(model, MNFCOS):
+        from pytorch_object_detection_tpu.models.mnfcos_int8 import (
+            calibrate_lwfpn,
+            quantize_lwfpn,
+        )
+
+        taps = jax.jit(calibrate_lwfpn)(
+            variables["params"]["fpn"], variables["batch_stats"]["fpn"], feats
+        )
+        taps = {k: float(v) for k, v in taps.items()}
+        return jax.jit(quantize_lwfpn)(
+            variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps, scales
+        )
     from pytorch_object_detection_tpu.models.fcos_int8 import (
         calibrate_fpn_classic,
         quantize_fpn_classic,
@@ -474,11 +489,18 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
     4-conv-tower ladder.  Calibrates per-level activation scales on the
     int8 FPN's (dequantized) levels and returns the head qtree for
     ``make_eval_forward_int8(..., int8_head=True)``."""
-    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.models.fcos import HISFCOS, MNFCOS
 
     is_his = isinstance(model, HISFCOS)
+    is_mn = isinstance(model, MNFCOS)
     if is_his:
         from pytorch_object_detection_tpu.nn.fpn_int8 import hisfpn_int8_forward as fpn_fwd
+    elif is_mn:
+        from pytorch_object_detection_tpu.models.mnfcos_int8 import (
+            lwfpn_int8_forward,
+        )
+
+        fpn_fwd = lambda qt, fq, **kw: lwfpn_int8_forward(qt, fq, **kw)
     else:
         from pytorch_object_detection_tpu.models.fcos_int8 import (
             fpn_classic_int8_forward,
@@ -503,6 +525,20 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
         taps = {k: float(v) for k, v in taps.items()}
         return quantize_hishead(variables["params"]["head"], taps, level_scales,
                                 model.num_classes)
+    if is_mn:
+        from pytorch_object_detection_tpu.models.mnfcos_int8 import (
+            calibrate_mnhead,
+            quantize_mnhead,
+        )
+
+        taps = jax.jit(calibrate_mnhead)(
+            variables["params"]["head"], variables["batch_stats"]["head"], levels
+        )
+        taps = {k: float(v) for k, v in taps.items()}
+        return quantize_mnhead(
+            variables["params"]["head"], variables["batch_stats"]["head"],
+            taps, level_scales, model.num_classes,
+        )
     from pytorch_object_detection_tpu.models.fcos_int8 import (
         calibrate_fcoshead,
         quantize_fcoshead,
@@ -572,7 +608,23 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                     qtree["backbone"], images, compute_dtype, backend=backend,
                     fuse_strided=fuse_strided, dequant=False, u8_stem=u8_input,
                 )
-            if not is_his:
+            from pytorch_object_detection_tpu.models.fcos import MNFCOS as _MNF
+
+            if isinstance(model, _MNF):
+                # MNFCOS ladder (models/mnfcos_int8.py; XLA int8 convs)
+                from pytorch_object_detection_tpu.models.mnfcos_int8 import (
+                    lwfpn_int8_forward,
+                    mnhead_int8_forward,
+                )
+
+                if int8_head:
+                    levels_q, _ = lwfpn_int8_forward(
+                        qtree["fpn"], feats_q, dequant=False
+                    )
+                    return mnhead_int8_forward(qtree["head"], levels_q,
+                                               num_classes=model.num_classes)
+                levels = lwfpn_int8_forward(qtree["fpn"], feats_q, compute_dtype)
+            elif not is_his:
                 # classic FCOS ladder (models/fcos_int8.py; XLA int8 convs)
                 from pytorch_object_detection_tpu.models.fcos_int8 import (
                     fcoshead_int8_forward,
@@ -613,6 +665,8 @@ def make_eval_forward_int8(model, compute_dtype: jnp.dtype = jnp.bfloat16,
                     qtree["fpn"], feats_q, compute_dtype, backend=sub,
                 )
             head_vars = {"params": _cast_tree(params["head"], compute_dtype)}
+            if batch_stats and "head" in batch_stats:
+                head_vars["batch_stats"] = _cast_tree(batch_stats["head"], compute_dtype)
             try:
                 cls_l, cnt_l, reg_l = head_mod.apply(head_vars, levels)
             except TypeError:

@@ -818,6 +818,100 @@ def test_fcos_int8_full_eval_forward():
         assert _cos(reg8[i], reg[i]) > 0.98, (i, _cos(reg8[i], reg[i]))
 
 
+def test_mnfcos_int8_ladder_close_to_float():
+    """MNFCOS int8 ladder (models/mnfcos_int8.py): the quantized
+    lightweight FPN (dilated-depthwise MNBlocks) and MN head track their
+    float counterparts per level — completes int8 coverage of the live
+    trainer models (HISFCOS/FCOS/MNFCOS)."""
+    from pytorch_object_detection_tpu.models.heads import MNHead
+    from pytorch_object_detection_tpu.models.mnfcos_int8 import (
+        calibrate_lwfpn,
+        calibrate_mnhead,
+        lwfpn_int8_forward,
+        mnhead_int8_forward,
+        quantize_lwfpn,
+        quantize_mnhead,
+    )
+    from pytorch_object_detection_tpu.nn.fpn import LightweightFPN
+
+    C = 64
+    rng = np.random.default_rng(13)
+    shapes = [(2, 16, 16, 96), (2, 8, 8, 192), (2, 4, 4, 384)]
+    feats = [jnp.asarray(rng.normal(size=s).astype(np.float32)) for s in shapes]
+    s_feats = [float(jnp.max(jnp.abs(f))) / 127.0 for f in feats]
+    feats_q = [jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+               for f, s in zip(feats, s_feats)]
+    feats_dq = [q.astype(jnp.float32) * s for q, s in zip(feats_q, s_feats)]
+
+    fpn = LightweightFPN(features=C)
+    v = fpn.init(jax.random.PRNGKey(0), feats)
+    taps = {k: float(x) for k, x in jax.jit(calibrate_lwfpn)(
+        v["params"], v["batch_stats"], feats_dq).items()}
+    qtree = quantize_lwfpn(v["params"], v["batch_stats"], taps, s_feats)
+    ref = fpn.apply(v, feats_dq)
+    got = lwfpn_int8_forward(qtree, feats_q, jnp.float32)
+    for i, (g, w) in enumerate(zip(got, ref)):
+        assert _cos(g, w) > 0.99, (i, _cos(g, w))
+
+    head = MNHead(num_classes=20, features=C)
+    levels_q, level_scales = lwfpn_int8_forward(qtree, feats_q, dequant=False)
+    levels_dq = [q.astype(jnp.float32) * s for q, s in zip(levels_q, level_scales)]
+    hv = head.init(jax.random.PRNGKey(1), levels_dq)
+    htaps = {k: float(x) for k, x in jax.jit(calibrate_mnhead)(
+        hv["params"], hv["batch_stats"], levels_dq).items()}
+    hq = quantize_mnhead(hv["params"], hv["batch_stats"], htaps, level_scales, 20)
+    ref_cls, ref_cnt, ref_reg = head.apply(hv, levels_dq)
+    cls8, cnt8, reg8 = mnhead_int8_forward(hq, levels_q)
+    for i in range(5):
+        assert _cos(cls8[i], ref_cls[i]) > 0.99, (i, _cos(cls8[i], ref_cls[i]))
+        assert _cos(cnt8[i], ref_cnt[i]) > 0.99, (i, _cos(cnt8[i], ref_cnt[i]))
+        assert _cos(reg8[i], ref_reg[i]) > 0.99, (i, _cos(reg8[i], ref_reg[i]))
+
+
+def test_mnfcos_int8_full_eval_forward():
+    """Detector-level MNFCOS int8 path through make_eval_forward_int8
+    (backbone + lightweight FPN + MN head) tracks the float forward."""
+    from pytorch_object_detection_tpu.models.fcos import MNFCOS
+    from pytorch_object_detection_tpu.train.trainer import (
+        create_train_state,
+        make_eval_forward,
+        make_eval_forward_int8,
+        quantize_backbone,
+        quantize_fpn,
+        quantize_head,
+    )
+
+    # 128^2 minimum: the MN pyramid derives P6/P7 by 2x2 maxpool (not the
+    # classic FPN's stride-2 convs), so C5 must be >= 4x4 for P7 to exist
+    hw = (128, 128)
+    model = MNFCOS(num_classes=20, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *hw, 3))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    calib = jax.random.normal(jax.random.PRNGKey(2), (2, *hw, 3)) * 0.5
+
+    qbb = quantize_backbone(model, variables, calib)
+    qfpn = quantize_fpn(model, variables, qbb, calib)
+    qhead = quantize_head(model, variables, qbb, qfpn, calib)
+    qtree = {"backbone": qbb, "fpn": qfpn, "head": qhead}
+
+    fwd8 = make_eval_forward_int8(model, backend="xla", int8_fpn=True,
+                                  int8_head=True)
+    cls8, cnt8, reg8 = jax.jit(fwd8)(qtree, state.params, state.batch_stats, calib)
+    fwd = make_eval_forward(model, jnp.float32)
+    cls, cnt, reg = jax.jit(fwd)(state.params, state.batch_stats, calib)
+    for i in range(5):
+        assert cls8[i].shape == cls[i].shape
+        assert np.isfinite(np.asarray(cls8[i])).all()
+        assert _cos(cls8[i], cls[i]) > 0.98, (i, _cos(cls8[i], cls[i]))
+        assert _cos(reg8[i], reg[i]) > 0.98, (i, _cos(reg8[i], reg[i]))
+    # backbone+FPN int8 with the float MN head (int8_head=False) also runs
+    fwd8f = make_eval_forward_int8(model, backend="xla", int8_fpn=True,
+                                   int8_head=False)
+    cls8f, _, _ = jax.jit(fwd8f)(
+        {"backbone": qbb, "fpn": qfpn}, state.params, state.batch_stats, calib)
+    assert _cos(cls8f[0], cls[0]) > 0.98
+
+
 def test_pallas_qmaxpool2x2_matches_reduce_window():
     """The Pallas int8 2x2/2 maxpool is bit-exact vs reduce_window on every
     pyramid-level shape the FPN uses, and falls back cleanly on odd shapes."""
