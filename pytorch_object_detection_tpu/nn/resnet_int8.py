@@ -322,18 +322,17 @@ def resnet50_int8_forward(qtree, images, compute_dtype=jnp.bfloat16, backend: st
             #   kernel — the bitcast view goes straight into the Pallas
             #            stem and the row merge happens in VMEM
             #   transpose — the original 6D-transpose space_to_depth
-            # VMEM guard: the Pallas window pads the minor dim to 128
-            # lanes, so a [1, hs, 2, ws, 8] u8 block occupies hs*2*ws*128
-            # physical bytes x2 buffering.  Beyond ~45 MB logical-per-
-            # buffer the COCO canvas overflows the 128 MB VMEM (measured:
-            # 896x1408 needs 161 MB) — fall back to the transpose form,
-            # whose [1, hs, ws, 16] window pads only 8x.
-            def _raw_fits(hs_, ws_):
-                return hs_ * 2 * ws_ * 128 <= 45 * 2**20
-
-            if images.ndim == 5:
+            # Big canvases (COCO 448x704 s2d): the whole-image Pallas
+            # window overflows VMEM (raw view 161 MB, s2d 80.7 MB double-
+            # buffered) — qstem_conv now auto-BANDS its grid over rows
+            # (halo blocks + carried pool seam, bit-identical), so the
+            # raw 5D-view fast path works at every canvas.  r2 fell back
+            # to the 6D-transpose s2d form here; PODT_STEM_BANDS=0
+            # restores that for A/B.
+            if (images.ndim == 5
+                    and _os.environ.get("PODT_STEM_BANDS", "1") == "0"):
                 _, h2, _, w2, _ = images.shape
-                if not _raw_fits(h2, w2):
+                if h2 * 2 * w2 * 128 > 45 * 2**20:
                     b_ = images.shape[0]
                     u4 = images.reshape(b_, h2 * 2, w2 * 2, 4)
             # "xla7" (opt-in, measured NET NEGATIVE e2e): the direct 7x7/2

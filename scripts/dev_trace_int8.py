@@ -21,7 +21,10 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
-    run, _ = bench.build_pipeline("int8", (512, 512), batch)
+    hw = (512, 512)
+    if os.environ.get("PODT_BENCH_HW"):  # e.g. "896x1408" (COCO canvas)
+        hw = tuple(int(v) for v in os.environ["PODT_BENCH_HW"].split("x"))
+    run, _ = bench.build_pipeline("int8", hw, batch)
     float(run())  # compile + warm
 
     jax.profiler.start_trace(LOGDIR)

@@ -442,6 +442,21 @@ def test_pick_row_chunk():
     assert pick_row_chunk(22, even=True) == 2
 
 
+def test_qstem_pick_bands():
+    from pytorch_object_detection_tpu.ops.pallas_qstem import _pick_bands
+
+    # COCO canvas (448x704 s2d): raw view 161 MB double-buffered -> 4
+    # bands (112 rows, 40.4 MB); s2d form 80.7 MB -> 2 bands
+    assert _pick_bands(448, 2 * 704 * 128, True) == 4
+    assert _pick_bands(448, 704 * 128, True) == 2
+    # 512^2 serving canvas fits whole-image — the shipped path unchanged
+    assert _pick_bands(256, 2 * 256 * 128, True) == 1
+    assert _pick_bands(256, 256 * 128, True) == 1
+    # bands always divide hs and keep the merged row-pair granularity
+    nb = _pick_bands(56, 2 * 704 * 128 * 64, True)  # absurd rows force max
+    assert 56 % nb == 0 and (56 // nb) % 4 == 0
+
+
 def test_hisfpn_pallas_coco_canvas_shapes():
     """Fused HisBlock kernels on non-power-of-two rectangular levels (the
     COCO 896x1408-canvas pyramid shape family, scaled down: 28x44 -> 1x2)
@@ -687,6 +702,23 @@ def test_u8_s2d_stem_exact_and_kernel_matches_oracle():
                         pool=True, emit_merged=True, row_chunk=8, raw=True,
                         interpret=True)
     np.testing.assert_array_equal(np.asarray(fm_raw), np.asarray(fm_mc))
+
+    # row-banded grid (the COCO-canvas VMEM form, r3): 2-row/1-row halo
+    # blocks + pad-row substitution on the edge bands + the pool carry
+    # riding the scratch across sequential grid steps — every config must
+    # stay bit-identical to the whole-image kernel
+    for kw in ({}, {"pool": True}, {"pool": True, "row_chunk": 8},
+               {"pool": True, "emit_merged": True},
+               {"pool": True, "emit_merged": True, "raw": True}):
+        x_in = xraw if kw.get("raw") else xs
+        want = qstem_conv(x_in, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                          q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                          interpret=True, **kw)
+        for nb in (2, 4):
+            got = qstem_conv(x_in, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
+                             q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
+                             bands=nb, interpret=True, **kw)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want)), (kw, nb)
 
 
 def test_u8_input_full_int8_forward():
