@@ -40,9 +40,8 @@ def _requant(y):
     return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
 
 
-def _qblock_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
-                   height, width, cin, cw, cout, row_chunk, has_ds,
-                   merged=False):
+def _qblock_kernel(x_ref, *refs, height, width, cin, cw, cout, row_chunk,
+                   has_ds, merged=False, nbands=1):
     """sc_ref: f32 scale table [8, max(cw,cout)] rows =
     A1,B1,A2,B2,A3,B3,Ad|short_mul,Bd (unused tail zero-padded).
 
@@ -60,7 +59,21 @@ def _qblock_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
     conv2's +-1-ROW windows become half-lane rotates built from 64-aligned
     lane slices of the current and +-1 merged rows; column windows are the
     ordinary shifts.
+
+    ``nbands > 1``: row-banded grid (B, nbands) for big canvases where the
+    whole-image in+out windows lose double-buffering headroom (COCO:
+    measured +42% per block at matched pixels, dev_qblock_coco.py).  Two
+    extra in_specs carry the 1-row top/bottom halos of the SAME input
+    array (clamped index maps); ``height`` is then the BAND height.  conv2
+    zero-pads in the conv1-OUTPUT domain, so edge bands substitute the
+    zero row into a1 selected on the band index — bit-identical to the
+    whole-image kernel.
     """
+    if nbands > 1:
+        xt_ref, xb_ref = refs[0], refs[1]
+        refs = refs[2:]
+        ri = pl.program_id(1)
+    w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref = refs
     a1r = sc_ref[0, :cw]
     b1r = sc_ref[1, :cw]
     a2r = sc_ref[2, :cw]
@@ -70,23 +83,45 @@ def _qblock_kernel(x_ref, w1_ref, w2_ref, w3_ref, wd_ref, sc_ref, out_ref, *,
     adr = sc_ref[6, :cout]
     bdr = sc_ref[7, :cout]
 
-    x_img = x_ref[0]  # [H, W, Cin], int8, VMEM-resident
+    x_img = x_ref[0]  # [H(band), W, Cin], int8, VMEM-resident
 
     zero_row = jnp.zeros((1, width, cw), jnp.int8)
     half = cw // 2  # merged: lanes per true image row
     for r0 in range(0, height, row_chunk):
         lo = max(r0 - 1, 0)
         hi = min(r0 + row_chunk + 1, height)
-        xs = x_img[lo:hi]  # [rows, W, Cin]
-        rows = hi - lo
+        if nbands > 1:
+            # halo rows come from the extra blocks; interior chunks are a
+            # free ref slice (concatenating whole band+halo up front was
+            # measured as a 2x regression at small row_chunks — it copies
+            # the window through the VPU once per program)
+            pieces = ([xt_ref[0]] if r0 == 0 else []) + [x_img[lo:hi]] + \
+                ([xb_ref[0]] if r0 + row_chunk == height else [])
+            xs = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+                pieces, axis=0)
+            rows = row_chunk + 2
+        else:
+            xs = x_img[lo:hi]  # [rows, W, Cin]
+            rows = hi - lo
         # conv1 1x1 + BN + ReLU -> int8 a1 (halo rows included)
         acc1 = _dot_i8(xs.reshape(rows * width, cin), w1_ref[:])
         a1 = _requant(jnp.maximum(acc1.astype(jnp.float32) * a1r + b1r, 0.0))
         a1 = a1.reshape(rows, width, cw)
-        if lo == r0:  # top edge: conv2's row -1 is zero padding
-            a1 = jnp.concatenate([zero_row, a1], axis=0)
-        if hi == r0 + row_chunk:  # bottom edge
-            a1 = jnp.concatenate([a1, zero_row], axis=0)
+        if nbands > 1:
+            # conv2 zero-pads the a1 domain at the IMAGE edges only —
+            # interior bands keep the real halo rows
+            if r0 == 0:
+                a1 = jnp.concatenate(
+                    [jnp.where(ri == 0, zero_row, a1[:1]), a1[1:]], axis=0)
+            if r0 + row_chunk == height:
+                a1 = jnp.concatenate(
+                    [a1[:-1], jnp.where(ri == nbands - 1, zero_row, a1[-1:])],
+                    axis=0)
+        else:
+            if lo == r0:  # top edge: conv2's row -1 is zero padding
+                a1 = jnp.concatenate([zero_row, a1], axis=0)
+            if hi == r0 + row_chunk:  # bottom edge
+                a1 = jnp.concatenate([a1, zero_row], axis=0)
         # a1 now [row_chunk + 2, W, cw]
 
         # conv2 3x3 SAME: nine shifted int8 dots accumulating int32
@@ -303,9 +338,24 @@ def qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd, *,
     )(x, w1, w2, w3, wd, scales)
 
 
+def _pick_qb_bands(h, row_bytes, budget=40 * 2**20):
+    """Smallest band count whose double-buffered in+out row windows fit
+    the budget (row_bytes = W*(Cin+Cout)*2).  1 at the 512^2 shapes; >1 at
+    the COCO canvas where whole-image residency measured +42%/block
+    (dev_qblock_coco.py)."""
+    for nb in range(1, h + 1):
+        if h % nb:
+            continue
+        band = h // nb
+        if band * row_bytes <= budget or band == 1:
+            return nb
+    return 1
+
+
 def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
                 short_mul=None, wd=None, ad=None, bd=None,
-                row_chunk: int = 16, merged: bool = False,
+                row_chunk: int | None = None, merged: bool = False,
+                bands: int | None = None,
                 interpret: bool = False):
     """Fused stride-1 bottleneck block.
 
@@ -326,8 +376,21 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
     cw = w1.shape[1]
     cout = w3.shape[1]
     has_ds = wd is not None
-    row_chunk = min(row_chunk, h)
-    while h % row_chunk:  # non-pow2 canvases (COCO 896x1408)
+    if bands is None:
+        bands = _pick_qb_bands(h, wdt * (cin + cout) * 2)
+    assert h % bands == 0, (h, bands)
+    band_h = h // bands
+    if row_chunk is None:
+        # banded: largest divisor of the band <= the tuned 16 (COCO
+        # stage-1 A/B: rc=14 2.72 ms vs rc=28 2.84 vs rc=7 2.80 vs
+        # whole-image 3.19); whole-image keeps the plain 16
+        if bands > 1:
+            row_chunk = next(rc for rc in range(min(band_h, 16), 0, -1)
+                             if band_h % rc == 0)
+        else:
+            row_chunk = 16
+    row_chunk = min(row_chunk, band_h)
+    while band_h % row_chunk:  # non-pow2 canvases (COCO 896x1408)
         row_chunk //= 2
     assert row_chunk >= 1
     if not has_ds:
@@ -360,25 +423,45 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
     ])  # [8, cmax] f32
 
     kern = functools.partial(
-        _qblock_kernel, height=h, width=wdt, cin=cin, cw=cw, cout=cout,
-        row_chunk=row_chunk, has_ds=has_ds, merged=merged,
+        _qblock_kernel, height=band_h, width=wdt, cin=cin, cw=cw, cout=cout,
+        row_chunk=row_chunk, has_ds=has_ds, merged=merged, nbands=bands,
     )
     flops = 2 * bsz * h * wdt * (cin * cw + 9 * cw * cw + cw * cout + (cin * cout if has_ds else 0))
     if merged:  # block-diag doubles nominal dims; true flops are half
         flops //= 2
+    vmem = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                            memory_space=pltpu.VMEM)
+    if bands > 1:
+        x_specs = [
+            vmem((1, band_h, wdt, cin), lambda b, ri: (b, ri, 0, 0)),
+            # 1-row top/bottom halos of the same array, clamped at edges
+            # (edge bands substitute conv2's zero row in-kernel)
+            vmem((1, 1, wdt, cin),
+                 lambda b, ri: (b, jnp.maximum(ri * band_h - 1, 0), 0, 0)),
+            vmem((1, 1, wdt, cin),
+                 lambda b, ri: (b, jnp.minimum((ri + 1) * band_h, h - 1),
+                                0, 0)),
+        ]
+        out_spec = vmem((1, band_h, wdt, cout), lambda b, ri: (b, ri, 0, 0))
+        x_args = (x, x, x)
+        grid = (bsz, bands)
+    else:
+        x_specs = [vmem((1, h, wdt, cin), lambda b: (b, 0, 0, 0))]
+        out_spec = vmem((1, h, wdt, cout), lambda b: (b, 0, 0, 0))
+        x_args = (x,)
+        grid = (bsz,)
+    whole = lambda *shape: vmem(shape, lambda *g: (0,) * len(shape))
     call = pl.pallas_call(
         kern,
-        grid=(bsz,),
-        in_specs=[
-            pl.BlockSpec((1, h, wdt, cin), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cw), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cw, cw), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cw, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cin, cout), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, cmax), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=x_specs + [
+            whole(cin, cw),
+            whole(3, 3, cw, cw),
+            whole(cw, cout),
+            whole(cin, cout),
+            whole(8, cmax),
         ],
-        out_specs=pl.BlockSpec((1, h, wdt, cout), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, h, wdt, cout), jnp.int8),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -391,7 +474,7 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=124 * 2**20),
         interpret=interpret,
     )
-    return call(x, w1, w2, w3, wd, scales)
+    return call(*x_args, w1, w2, w3, wd, scales)
 
 
 def row_pair_merge(x):

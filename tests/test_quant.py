@@ -82,6 +82,20 @@ def test_qbottleneck_interpret_exact_identity_and_projection():
     want2 = _ref_block(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, short)
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(want2))
 
+    # row-banded grid (COCO-canvas residency fix, r3): 1-row halo blocks
+    # + a1-domain zero-row substitution on the edge bands — bit-identical
+    # in every config
+    for nb in (2, 4):
+        for rc in (8, 4):
+            g1 = qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                             short_mul=0.5, row_chunk=rc, bands=nb,
+                             interpret=True)
+            np.testing.assert_array_equal(np.asarray(g1), np.asarray(want))
+            g2 = qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                             wd=wd, ad=ad, bd=bd, row_chunk=rc, bands=nb,
+                             interpret=True)
+            np.testing.assert_array_equal(np.asarray(g2), np.asarray(want2))
+
 
 def test_qbottleneck_merged_bit_exact():
     """Row-pair lane-merged bottleneck == the canonical kernel bit-wise
@@ -117,6 +131,13 @@ def test_qbottleneck_merged_bit_exact():
                        wd=wd, ad=ad, bd=bd, row_chunk=4, merged=True,
                        interpret=True)
     np.testing.assert_array_equal(np.asarray(row_pair_split(got2)), np.asarray(base2))
+
+    # merged + row-banded grid (the COCO stage-1 form): +-1 merged-row
+    # halos as extra blocks, still bit-exact
+    gotb = qbottleneck(xm, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                       short_mul=0.5, row_chunk=2, merged=True, bands=2,
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(row_pair_split(gotb)), np.asarray(base))
 
     # stride-2 consumer: merged_in == canonical input, canonical output
     base3 = qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd,
