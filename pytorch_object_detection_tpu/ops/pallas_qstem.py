@@ -293,19 +293,28 @@ def _qstem_banded_kernel(xc_ref, xp_ref, xn_ref, w_ref, sc_ref, pad_ref,
                      (ri == 0) if r0 == 0 else False)
 
 
-def _pick_bands(hs, row_bytes, merged, budget=40 * 2**20):
-    """Smallest band count whose double-buffered input window fits the
-    budget.  Bands must divide hs, be even (the 2-row top-halo block must
-    start block-aligned: its offset ri*band - 2 is a multiple of 2 only
-    for even bands) and keep the merged row-pair granularity."""
+def _pick_bands(hs, row_bytes, merged, budget=40 * 2**20,
+                target=21 * 2**20):
+    """Band count for the stem grid.  Whole-image if its double-buffered
+    window fits ``budget`` (512^2 raw is 33.5 MB — the shipped headline
+    form, measured >= any banded split).  Otherwise the smallest band
+    count whose window is <= ``target``: at the COCO canvas the sweep
+    measured 56-row bands (20.2 MB, nb=8) 0.96 ms faster than 112-row
+    (nb=4) — smaller windows double-buffer earlier (nb 4/8/16/28 =
+    9.02/8.06/8.61/8.16 ms).  Bands must divide hs, be even (the 2-row
+    top-halo block must start block-aligned: its offset ri*band - 2 is a
+    multiple of 2 only for even bands) and keep the merged row-pair
+    granularity."""
+    if hs * row_bytes * 2 <= budget:
+        return 1
     gran = 4 if merged else 2
-    for nb in range(1, hs + 1):
+    for nb in range(2, hs + 1):
         if hs % nb:
             continue
         band = hs // nb
-        if nb > 1 and band % gran:
+        if band % gran:
             continue
-        if band * row_bytes * 2 <= budget or band <= gran:
+        if band * row_bytes * 2 <= target or band <= gran:
             return nb
     return 1
 

@@ -466,10 +466,11 @@ def test_pick_row_chunk():
 def test_qstem_pick_bands():
     from pytorch_object_detection_tpu.ops.pallas_qstem import _pick_bands
 
-    # COCO canvas (448x704 s2d): raw view 161 MB double-buffered -> 4
-    # bands (112 rows, 40.4 MB); s2d form 80.7 MB -> 2 bands
-    assert _pick_bands(448, 2 * 704 * 128, True) == 4
-    assert _pick_bands(448, 704 * 128, True) == 2
+    # COCO canvas (448x704 s2d): raw view 161 MB double-buffered -> 8
+    # bands (56 rows, 20.2 MB — the measured-fastest split); s2d form
+    # 80.7 MB -> 4 bands
+    assert _pick_bands(448, 2 * 704 * 128, True) == 8
+    assert _pick_bands(448, 704 * 128, True) == 4
     # 512^2 serving canvas fits whole-image — the shipped path unchanged
     assert _pick_bands(256, 2 * 256 * 128, True) == 1
     assert _pick_bands(256, 256 * 128, True) == 1
@@ -735,7 +736,7 @@ def test_u8_s2d_stem_exact_and_kernel_matches_oracle():
         want = qstem_conv(x_in, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
                           q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
                           interpret=True, **kw)
-        for nb in (2, 4):
+        for nb in (2, 4, 8):
             got = qstem_conv(x_in, q["stem_s2d"]["w"], q["stem_s2d"]["A"],
                              q["stem_s2d"]["B"], q["stem_s2d"]["pad"],
                              bands=nb, interpret=True, **kw)
