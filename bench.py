@@ -39,7 +39,7 @@ BASELINE_IMAGES_PER_SEC = 2000.0  # BASELINE.json target (v5e chip)
 
 
 def build_pipeline(mode: str, hw, batch_size: int):
-    from pytorch_object_detection_tpu.models.fcos import HISFCOS
+    from pytorch_object_detection_tpu.models.fcos import FCOS, HISFCOS, MNFCOS
     from pytorch_object_detection_tpu.ops.postprocess import decode_detections
     from pytorch_object_detection_tpu.train.trainer import (
         make_eval_forward,
@@ -47,8 +47,12 @@ def build_pipeline(mode: str, hw, batch_size: int):
         quantize_backbone,
     )
 
+    # PODT_BENCH_MODEL switches the model family (the quantize_*/
+    # make_eval_forward_int8 helpers dispatch on the model class);
     # PODT_BENCH_CLASSES=80 benches the COCO head (pred pad 96, not 32)
-    model = HISFCOS(num_classes=int(os.environ.get("PODT_BENCH_CLASSES", "20")))
+    cls = {"hisfcos": HISFCOS, "fcos": FCOS, "mnfcos": MNFCOS}[
+        os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()]
+    model = cls(num_classes=int(os.environ.get("PODT_BENCH_CLASSES", "20")))
     rng = jax.random.PRNGKey(0)
     # jit the init: un-jitted linen init dispatches op-by-op through the
     # axon tunnel (minutes); jitted it is one program.
@@ -168,12 +172,13 @@ def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "128")), iters
     dt = time.perf_counter() - t0
 
     images_per_sec = batch_size * iters / dt
+    mdl = os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()
     print(
         json.dumps(
             {
-                "metric": f"hisfcos_e2e_eval_images_per_sec_{hw[0]}x{hw[1]}_{mode}"
+                "metric": f"{mdl}_e2e_eval_images_per_sec_{hw[0]}x{hw[1]}_{mode}"
                 if hw != (512, 512)
-                else f"hisfcos_e2e_eval_images_per_sec_512px_{mode}",
+                else f"{mdl}_e2e_eval_images_per_sec_512px_{mode}",
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
