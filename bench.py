@@ -52,7 +52,10 @@ def build_pipeline(mode: str, hw, batch_size: int):
     # PODT_BENCH_CLASSES=80 benches the COCO head (pred pad 96, not 32)
     cls = {"hisfcos": HISFCOS, "fcos": FCOS, "mnfcos": MNFCOS}[
         os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()]
-    model = cls(num_classes=int(os.environ.get("PODT_BENCH_CLASSES", "20")))
+    kw = {"num_classes": int(os.environ.get("PODT_BENCH_CLASSES", "20"))}
+    if os.environ.get("PODT_BENCH_BACKBONE"):  # e.g. efficientnet-b0 (FCOS)
+        kw["backbone"] = os.environ["PODT_BENCH_BACKBONE"]
+    model = cls(**kw)
     rng = jax.random.PRNGKey(0)
     # jit the init: un-jitted linen init dispatches op-by-op through the
     # axon tunnel (minutes); jitted it is one program.
@@ -173,6 +176,8 @@ def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "128")), iters
 
     images_per_sec = batch_size * iters / dt
     mdl = os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()
+    if os.environ.get("PODT_BENCH_BACKBONE"):
+        mdl += "_" + os.environ["PODT_BENCH_BACKBONE"].replace("-", "")
     print(
         json.dumps(
             {
