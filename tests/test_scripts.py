@@ -89,3 +89,20 @@ def test_model_info_cli():
     r = _run(["scripts/model_info.py", "--model", "FCOS", "--size", "128"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "total params: 32,157,022" in r.stdout
+
+
+def test_bench_model_knobs(monkeypatch):
+    """bench.build_pipeline constructs + runs for every PODT_BENCH_MODEL
+    (and the EfficientNet backbone knob) — bf16 path, tiny canvas, CPU."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    for name, backbone in [("hisfcos", ""), ("fcos", ""), ("mnfcos", ""),
+                           ("fcos", "efficientnet-b0")]:
+        monkeypatch.setenv("PODT_BENCH_MODEL", name)
+        if backbone:
+            monkeypatch.setenv("PODT_BENCH_BACKBONE", backbone)
+        else:
+            monkeypatch.delenv("PODT_BENCH_BACKBONE", raising=False)
+        run, _ = bench.build_pipeline("bf16", (128, 128), 2)
+        assert np.isfinite(float(run())), (name, backbone)
