@@ -122,9 +122,33 @@ def _quantize_mnblock(p, s) -> Dict:
                 w1=w1, sw1=sw1, b1=b1, w2=w2, sw2=sw2, b2=b2)
 
 
-def _mnblock_i8(blk, sc, x_q, kernel: int, dilation: int) -> jnp.ndarray:
+def _mnblock_i8(blk, sc, x_q, kernel: int, dilation: int,
+                use_pallas: bool | None = None,
+                interpret: bool = False) -> jnp.ndarray:
     """int8 MNBlock: dw+BN -> requant -> pw1+SiLU -> requant -> pw2 +
-    residual -> requant.  ``sc``: dict with s_in/s_a1/s_a2/s_out."""
+    residual -> requant.  ``sc``: dict with s_in/s_a1/s_a2/s_out.
+
+    ``use_pallas`` (default: env PODT_QMN=1) routes every block through
+    the fused whole-block kernel (ops/pallas_qmnblock — one HBM read/write
+    per block vs three int32-accumulator round-trips here).  ALL blocks
+    must switch together: a lone XLA depthwise next to Pallas neighbours
+    loses its fusion context and hits a pathological emitter (mnb5's
+    16x16 dw conv measured 12.5 ms — see the kernel module docstring)."""
+    import os
+
+    if use_pallas is None:
+        use_pallas = os.environ.get("PODT_QMN", "0") == "1"
+    if use_pallas and kernel % 2 == 1 and dilation in (1, 2):
+        from pytorch_object_detection_tpu.ops.pallas_qmnblock import qmnblock
+
+        if jax.default_backend() == "cpu":  # tests / PODT_FORCE_CPU
+            interpret = True
+        return qmnblock(
+            x_q, blk["wdw"], blk["swdw"], blk["bdw"],
+            blk["w1"], blk["sw1"], blk["b1"], blk["w2"], blk["sw2"], blk["b2"],
+            sc["s_in"], sc["s_a1"], sc["s_a2"], sc["s_out"],
+            kernel=kernel, dilation=dilation, interpret=interpret,
+        )
     k, d = kernel, dilation
     pad = d * (k - 1) // 2
     c = x_q.shape[-1]

@@ -1159,3 +1159,120 @@ def test_fcos_efficientnet_int8_full_eval_forward():
     cls8b, _, reg8b = jax.jit(fwd8bb)(qbb, state.params, state.batch_stats, calib)
     for i in range(5):
         assert _cos(cls8b[i], cls[i]) > 0.98, i
+
+
+def test_qmnblock_kernel_bitexact():
+    """Fused whole-MNBlock kernel (ops/pallas_qmnblock) vs the XLA int8
+    ladder (_mnblock_i8) for both dilations, non-pow2 heights, and the
+    head/FPN channel shapes.  Contract: <= 1 int8 LSB, and only on the
+    rare requant-boundary elements (the kernel-side FMA contraction puts
+    the pre-requant f32 one ulp off the op-by-op ladder — see the
+    pallas_qmnblock module docstring; debugged to a 41.499996 vs 41.5
+    boundary hit)."""
+    import numpy as np
+
+    from pytorch_object_detection_tpu.models.mnfcos_int8 import _mnblock_i8
+
+    rng = np.random.default_rng(0)
+
+    def make(c, alpha=2):
+        blk = dict(
+            wdw=jnp.asarray(rng.integers(-127, 128, (3, 3, 1, c)).astype(np.int8)),
+            swdw=jnp.asarray(np.abs(rng.standard_normal(c)).astype(np.float32)) * 1e-3 + 1e-5,
+            bdw=jnp.asarray(rng.standard_normal(c).astype(np.float32)) * 0.1,
+            w1=jnp.asarray(rng.integers(-127, 128, (1, 1, c, alpha * c)).astype(np.int8)),
+            sw1=jnp.asarray(np.abs(rng.standard_normal(alpha * c)).astype(np.float32)) * 1e-3 + 1e-5,
+            b1=jnp.asarray(rng.standard_normal(alpha * c).astype(np.float32)) * 0.1,
+            w2=jnp.asarray(rng.integers(-127, 128, (1, 1, alpha * c, c)).astype(np.int8)),
+            sw2=jnp.asarray(np.abs(rng.standard_normal(c)).astype(np.float32)) * 1e-3 + 1e-5,
+            b2=jnp.asarray(rng.standard_normal(c).astype(np.float32)) * 0.1,
+        )
+        sc = dict(s_in=jnp.float32(0.05), s_a1=jnp.float32(0.03),
+                  s_a2=jnp.float32(0.04), s_out=jnp.float32(0.06))
+        return blk, sc
+
+    for (h, w, c, d) in [(16, 16, 64, 1), (16, 16, 64, 2), (14, 22, 64, 2)]:
+        blk, sc = make(c)
+        x = jnp.asarray(rng.integers(-127, 128, (2, h, w, c)).astype(np.int8))
+        want = np.asarray(_mnblock_i8(blk, sc, x, 3, d, use_pallas=False))
+        got = np.asarray(
+            _mnblock_i8(blk, sc, x, 3, d, use_pallas=True, interpret=True))
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, (h, d, diff.max())
+        assert (diff > 0).mean() < 1e-3, (h, d, (diff > 0).mean())
+
+    # the k=5/7 small-level blocks route through the kernel too (a lone
+    # XLA depthwise next to Pallas neighbours hits a pathological
+    # emitter — see the kernel module docstring)
+    for (k, h, d) in [(5, 16, 2), (5, 8, 1), (7, 4, 1)]:
+        blk, sc = make(64)
+        blk["wdw"] = jnp.asarray(
+            rng.integers(-127, 128, (k, k, 1, 64)).astype(np.int8))
+        x = jnp.asarray(rng.integers(-127, 128, (1, h, h, 64)).astype(np.int8))
+        want = np.asarray(_mnblock_i8(blk, sc, x, k, d, use_pallas=False))
+        got = np.asarray(
+            _mnblock_i8(blk, sc, x, k, d, use_pallas=True, interpret=True))
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.max() <= 1, (k, h, d, diff.max())
+        assert (diff > 0).mean() < 1e-3, (k, h, d, (diff > 0).mean())
+
+
+def test_qmn_flag_routes_ladder_through_kernel(monkeypatch):
+    """PODT_QMN=1 routes every k=3 MNBlock of the lightweight FPN and MN
+    head through the fused Pallas kernel (interpret on CPU); pyramid and
+    head outputs stay within the kernel's <= 1 LSB requant-boundary
+    contract of the XLA ladder."""
+    from pytorch_object_detection_tpu.models.heads import MNHead
+    from pytorch_object_detection_tpu.models.mnfcos_int8 import (
+        calibrate_lwfpn,
+        calibrate_mnhead,
+        lwfpn_int8_forward,
+        mnhead_int8_forward,
+        quantize_lwfpn,
+        quantize_mnhead,
+    )
+    from pytorch_object_detection_tpu.nn.fpn import LightweightFPN
+
+    C = 64
+    rng = np.random.default_rng(7)
+    shapes = [(1, 16, 16, 96), (1, 8, 8, 192), (1, 4, 4, 384)]
+    feats = [jnp.asarray(rng.normal(size=s).astype(np.float32)) for s in shapes]
+    s_feats = [float(jnp.max(jnp.abs(f))) / 127.0 for f in feats]
+    feats_q = [jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+               for f, s in zip(feats, s_feats)]
+    feats_dq = [q.astype(jnp.float32) * s for q, s in zip(feats_q, s_feats)]
+
+    fpn = LightweightFPN(features=C)
+    v = fpn.init(jax.random.PRNGKey(0), feats)
+    taps = {k: float(x) for k, x in jax.jit(calibrate_lwfpn)(
+        v["params"], v["batch_stats"], feats_dq).items()}
+    qtree = quantize_lwfpn(v["params"], v["batch_stats"], taps, s_feats)
+
+    head = MNHead(num_classes=20, features=C)
+
+    def run():
+        lv, sc = lwfpn_int8_forward(qtree, feats_q, dequant=False)
+        return lv, sc
+
+    monkeypatch.setenv("PODT_QMN", "0")
+    lv_x, sc_x = run()
+    monkeypatch.setenv("PODT_QMN", "1")
+    lv_k, sc_k = run()
+    for i, (a, b) in enumerate(zip(lv_k, lv_x)):
+        d = np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-2, (i, d.max(), (d > 0).mean())
+
+    levels_dq = [q.astype(jnp.float32) * s for q, s in zip(lv_x, sc_x)]
+    hv = head.init(jax.random.PRNGKey(1), levels_dq)
+    htaps = {k: float(x) for k, x in jax.jit(calibrate_mnhead)(
+        hv["params"], hv["batch_stats"], levels_dq).items()}
+    hq = quantize_mnhead(hv["params"], hv["batch_stats"], htaps, sc_x, 20)
+    monkeypatch.setenv("PODT_QMN", "0")
+    cls_x, cnt_x, reg_x = mnhead_int8_forward(hq, lv_x)
+    monkeypatch.setenv("PODT_QMN", "1")
+    cls_k, cnt_k, reg_k = mnhead_int8_forward(hq, lv_x)
+    for i in range(5):
+        for a, b in [(cls_k[i], cls_x[i]), (cnt_k[i], cnt_x[i]),
+                     (reg_k[i], reg_x[i])]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=0.05)
