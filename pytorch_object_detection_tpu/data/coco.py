@@ -79,11 +79,11 @@ class COCODataset:
         return len(self.images)
 
     def __getitem__(self, index: int) -> Sample:
-        from PIL import Image
+        from pytorch_object_detection_tpu.data.decode import decode_image
 
         info = self.images[index]
         path = os.path.join(self.image_dir, info["file_name"])
-        img = np.asarray(Image.open(path).convert("RGB"))
+        img = decode_image(path)
         anns = self.anns_by_img.get(info["id"], [])
         if anns:
             arr = np.asarray(anns, np.float32)

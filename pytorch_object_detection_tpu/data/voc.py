@@ -136,13 +136,27 @@ class VOCDataset:
 
     def __getitem__(self, index: int) -> Sample:
         root, img_id = self.items[index]
+        img_path = os.path.join(root, "JPEGImages", f"{img_id}.jpg")
         if self._decoded is not None and index in self._decoded:
             img, boxes, labels = self._decoded[index]
             boxes = boxes.copy()  # downstream scales in place of this ref
-        else:
-            from PIL import Image
+        elif self.raw_tiles and self.augment is None and self._decoded is None:
+            # hot eval path: native decode straight into the device tile —
+            # no intermediate full-image array, no host resize
+            from pytorch_object_detection_tpu.data.decode import decode_image_to_tile
 
-            img = np.asarray(Image.open(os.path.join(root, "JPEGImages", f"{img_id}.jpg")).convert("RGB"))
+            boxes, labels = parse_voc_xml(
+                os.path.join(root, "Annotations", f"{img_id}.xml"), self.use_difficult
+            )
+            tile, (h, w) = decode_image_to_tile(img_path, self.tile_hw)
+            scale = min(self.canvas_hw[0] / h, self.canvas_hw[1] / w)
+            if boxes.size:
+                boxes = boxes * scale
+            return Sample(tile, boxes, labels, scale, img_id, (h, w))
+        else:
+            from pytorch_object_detection_tpu.data.decode import decode_image
+
+            img = decode_image(img_path)
             boxes, labels = parse_voc_xml(
                 os.path.join(root, "Annotations", f"{img_id}.xml"), self.use_difficult
             )

@@ -1,4 +1,4 @@
-"""Build the native shared library (g++, no external deps).
+"""Build the native shared library (g++; links the system libjpeg).
 
     python -m pytorch_object_detection_tpu.native.build
 """
@@ -9,14 +9,17 @@ import subprocess
 import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-SOURCES = ["detection_ops.cpp"]
+SOURCES = ["detection_ops.cpp", "jpeg_loader.cpp"]
 LIB_NAME = "libdetops.so"
 
 
 def build(verbose: bool = True) -> str:
     out = os.path.join(_DIR, LIB_NAME)
     srcs = [os.path.join(_DIR, s) for s in SOURCES]
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", out]
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        *srcs, "-o", out, "-ljpeg", "-lpthread",
+    ]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)

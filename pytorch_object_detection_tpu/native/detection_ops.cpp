@@ -139,6 +139,6 @@ void nms_cpu(const float* boxes, const uint8_t* valid, int n,
   }
 }
 
-int native_abi_version() { return 2; }
+int native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -18,6 +18,7 @@ _tried = False
 
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _f32p = ctypes.POINTER(ctypes.c_float)
+_i32p = ctypes.POINTER(ctypes.c_int32)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -44,8 +45,19 @@ def _load() -> Optional[ctypes.CDLL]:
         _u8p, _u8p,
     ]
     lib.nms_cpu.argtypes = [_f32p, _u8p, ctypes.c_int, ctypes.c_float, _u8p]
+    lib.jpeg_peek.argtypes = [_u8p, ctypes.c_size_t, _i32p]
+    lib.jpeg_peek.restype = ctypes.c_int
+    lib.jpeg_decode_tile.argtypes = [
+        _u8p, ctypes.c_size_t, _u8p, ctypes.c_int, ctypes.c_int, _i32p,
+    ]
+    lib.jpeg_decode_tile.restype = ctypes.c_int
+    lib.jpeg_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int, _u8p, ctypes.c_int, ctypes.c_int, _i32p,
+        ctypes.c_int, _i32p,
+    ]
     lib.native_abi_version.restype = ctypes.c_int
-    assert lib.native_abi_version() == 2
+    assert lib.native_abi_version() == 3
     _lib = lib
     return _lib
 
@@ -110,3 +122,79 @@ def nms_cpu_native(boxes: np.ndarray, valid: np.ndarray, iou_threshold: float) -
     keep = np.zeros(len(b), np.uint8)
     lib.nms_cpu(_fptr(b), _u8ptr(v), len(b), ctypes.c_float(iou_threshold), _u8ptr(keep))
     return keep.astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# native JPEG loader (jpeg_loader.cpp) — PIL is the fallback for anything
+# the native path declines (CMYK, corrupt streams, non-JPEG files)
+# ---------------------------------------------------------------------------
+def _as_bytes(data) -> bytes:
+    if isinstance(data, (bytes, bytearray)):
+        return bytes(data)
+    with open(data, "rb") as f:  # path-like
+        return f.read()
+
+
+def jpeg_decode_native(data) -> Optional[np.ndarray]:
+    """Full-size RGB decode of one JPEG (bytes or path). None -> fall back."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(_as_bytes(data), np.uint8)
+    hw = np.zeros(2, np.int32)
+    if lib.jpeg_peek(_u8ptr(buf), buf.size, hw.ctypes.data_as(_i32p)) != 0:
+        return None
+    h, w = int(hw[0]), int(hw[1])
+    out = np.empty((h, w, 3), np.uint8)
+    rc = lib.jpeg_decode_tile(_u8ptr(buf), buf.size, _u8ptr(out), h, w,
+                              hw.ctypes.data_as(_i32p))
+    return out if rc == 0 else None
+
+
+def jpeg_decode_tile_native(data, tile_hw) -> Optional[tuple]:
+    """Decode one JPEG straight into a fixed uint8 tile.
+
+    Semantics match ``data.pipeline.decode_to_tile`` (content top-left,
+    one replicated edge row/col, oversize content cropped to the tile).
+    Returns (tile [th,tw,3] u8, (h, w)) or None -> fall back to PIL.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    th, tw = tile_hw
+    buf = np.frombuffer(_as_bytes(data), np.uint8)
+    tile = np.empty((th, tw, 3), np.uint8)
+    hw = np.zeros(2, np.int32)
+    rc = lib.jpeg_decode_tile(_u8ptr(buf), buf.size, _u8ptr(tile), th, tw,
+                              hw.ctypes.data_as(_i32p))
+    if rc != 0:
+        return None
+    return tile, (int(hw[0]), int(hw[1]))
+
+
+def jpeg_decode_batch_native(datas, tile_hw, n_threads: int = 0):
+    """Threaded batch decode into one contiguous [N,th,tw,3] u8 array.
+
+    The GIL is released for the whole batch (one ctypes call into the
+    C++ thread pool). Returns (tiles, hw [N,2] i32, ok [N] bool); failed
+    images have ok=False and an undefined tile — the caller re-decodes
+    those through the PIL fallback.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    th, tw = tile_hw
+    bufs = [np.frombuffer(_as_bytes(d), np.uint8) for d in datas]
+    n = len(bufs)
+    tiles = np.empty((n, th, tw, 3), np.uint8)
+    hw = np.zeros((n, 2), np.int32)
+    status = np.zeros(n, np.int32)
+    ptrs = (ctypes.c_void_p * n)(*[b.ctypes.data for b in bufs])
+    lens = (ctypes.c_size_t * n)(*[b.size for b in bufs])
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.jpeg_decode_batch(
+        ptrs, lens, n, _u8ptr(tiles), th, tw, hw.ctypes.data_as(_i32p),
+        n_threads, status.ctypes.data_as(_i32p),
+    )
+    return tiles, hw, status == 0

@@ -1,7 +1,8 @@
 """Input-pipeline throughput benchmark (VERDICT r2 #3).
 
 Measures the real loader -> device rate that bench.py's device-resident
-synthetic images sidestep: JPEG decode on the host (PIL), then either
+synthetic images sidestep: JPEG decode on the host (native libjpeg via native/jpeg_loader.cpp,
+PIL fallback), then either
 
   * ``host``   — cv2 aspect-preserving resize on the host (the reference's
     path, dataset/voc.py:110-139) and H2D of the canvas; or
@@ -64,17 +65,18 @@ class JpegDataset:
         return len(self.paths)
 
     def __getitem__(self, i):
-        from PIL import Image
-
-        from pytorch_object_detection_tpu.data.pipeline import decode_to_tile
+        from pytorch_object_detection_tpu.data.decode import (
+            decode_image,
+            decode_image_to_tile,
+        )
         from pytorch_object_detection_tpu.data.voc import resize_to_canvas
 
-        img = np.asarray(Image.open(self.paths[i]).convert("RGB"))
         if self.mode == "host":
+            img = decode_image(self.paths[i])
             canvas, _, scale, chw = resize_to_canvas(img, None, self.canvas_hw)
             return self._sample(canvas, np.zeros((0, 4), np.float32),
                                 np.zeros((0,), np.int32), scale, str(i), chw)
-        tile, hw = decode_to_tile(img, self.tile_hw)
+        tile, hw = decode_image_to_tile(self.paths[i], self.tile_hw)
         return self._sample(tile, np.zeros((0, 4), np.float32),
                             np.zeros((0,), np.int32), 1.0, str(i), hw)
 
@@ -134,11 +136,36 @@ def run_mode(mode: str, paths, batch, canvas, tile_hw) -> float:
     return n / dt
 
 
+def run_host_only(paths, batch, canvas, tile_hw) -> float:
+    """Loader iteration rate with no device in the loop: the host decode->
+    tile capability (native libjpeg straight into the device tile).  On
+    this box the device submit is tunnel-H2D-bound, so this is the number
+    that predicts a production host's feed rate per core."""
+    from pytorch_object_detection_tpu.data.pipeline import DetectionLoader
+
+    ds = JpegDataset(paths, canvas, tile_hw, "device")
+    loader = DetectionLoader(ds, batch_size=batch, shuffle=False, drop_last=True,
+                             num_workers=2, process_count=1, process_index=0)
+    for _ in loader:  # warm: page cache + thread pool
+        break
+    n = 0
+    t0 = time.perf_counter()
+    for b in loader:
+        n += b.images.shape[0]
+    return n / (time.perf_counter() - t0)
+
+
 def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     canvas, tile_hw = (512, 512), (512, 512)
     paths = make_corpus("/tmp/podt_jpeg_corpus", n_images)
+    rate = run_host_only(paths, batch, canvas, tile_hw)
+    print(json.dumps({
+        "metric": "input_pipeline_images_per_sec_host_only",
+        "value": round(rate, 2),
+        "unit": "images/sec",
+    }))
     for mode in ("host", "device"):
         rate = run_mode(mode, paths, batch, canvas, tile_hw)
         print(json.dumps({
