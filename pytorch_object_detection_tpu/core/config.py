@@ -16,16 +16,32 @@ from typing import Any, Dict, List, Tuple
 import yaml
 
 
+def _resolve(path: str) -> str:
+    """Resolve a config path: as given, else the bundled package copy.
+
+    Reference configs are repo-root-relative (``config/main.yaml``); an
+    installed tree has no repo root, so fall back to the byte-identical
+    copies shipped in ``pytorch_object_detection_tpu/configs/``.
+    """
+    if os.path.exists(path):
+        return path
+    from pytorch_object_detection_tpu.configs import CONFIG_DIR
+
+    bundled = os.path.join(CONFIG_DIR, os.path.basename(path))
+    return bundled if os.path.exists(bundled) else path
+
+
 def load_config(cfg_path: str = "config/main.yaml") -> Dict[str, Any]:
+    cfg_path = _resolve(cfg_path)
     with open(cfg_path) as f:
         main = yaml.safe_load(f)
     dataset = main["dataset"]
     dataset_cfg_path = main[dataset]
     if not os.path.exists(dataset_cfg_path):
-        # reference paths are repo-root-relative; also try next to main.yaml
+        # reference paths are repo-root-relative; also try next to main.yaml,
+        # then the bundled package copy
         alt = os.path.join(os.path.dirname(os.path.abspath(cfg_path)), os.path.basename(dataset_cfg_path))
-        if os.path.exists(alt):
-            dataset_cfg_path = alt
+        dataset_cfg_path = alt if os.path.exists(alt) else _resolve(dataset_cfg_path)
     with open(dataset_cfg_path) as f:
         config = yaml.safe_load(f)
     config["model"] = {

@@ -106,3 +106,46 @@ def test_bench_model_knobs(monkeypatch):
             monkeypatch.delenv("PODT_BENCH_BACKBONE", raising=False)
         run, _ = bench.build_pipeline("bf16", (128, 128), 2)
         assert np.isfinite(float(run())), (name, backbone)
+
+
+def test_console_entry_points_resolve():
+    """pyproject [project.scripts] targets import and are callable, and each
+    CLI submodule exposes the argparse main() the shim scripts delegate to."""
+    import importlib
+
+    cli = importlib.import_module("pytorch_object_detection_tpu.cli")
+    for fn in ("train_main", "eval_voc_main", "eval_coco_main",
+               "visualize_main", "model_info_main"):
+        assert callable(getattr(cli, fn))
+    for mod in ("train", "eval_voc", "eval_coco", "visualize", "model_info"):
+        m = importlib.import_module(f"pytorch_object_detection_tpu.cli.{mod}")
+        assert callable(m.main)
+
+
+def test_bundled_configs_match_repo_configs():
+    """The installed-tree config copies must not drift from config/*.yaml."""
+    import glob
+
+    from pytorch_object_detection_tpu.configs import CONFIG_DIR
+
+    repo_cfg = os.path.join(REPO, "config")
+    names = sorted(os.path.basename(p) for p in glob.glob(os.path.join(repo_cfg, "*.yaml")))
+    assert names, "repo config/ dir missing"
+    for name in names:
+        with open(os.path.join(repo_cfg, name), "rb") as f:
+            want = f.read()
+        bundled = os.path.join(CONFIG_DIR, name)
+        assert os.path.exists(bundled), f"configs/{name} missing from package"
+        with open(bundled, "rb") as f:
+            assert f.read() == want, f"configs/{name} drifted from config/{name}"
+
+
+def test_load_config_outside_repo_root(tmp_path, monkeypatch):
+    """An installed user runs from any cwd: defaults resolve to the bundled
+    package configs when no repo-root config/ exists."""
+    from pytorch_object_detection_tpu.core.config import load_config
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config("config/main.yaml")
+    assert cfg["model"]["name"] in ("FCOS", "HISFCOS", "MNFCOS")
+    assert "dataset_setting" in cfg
