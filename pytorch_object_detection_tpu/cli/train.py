@@ -86,6 +86,17 @@ def main():
                     help="fetch the pipelined loss scalar every N steps. Each fetch "
                          "is a host roundtrip (~24 ms on the axon tunnel) that paces "
                          "the loop; N>1 trades NaN-halt latency for throughput")
+    ap.add_argument("--coordinator", default="",
+                    help="multi-host launch: coordinator host:port (the env:// "
+                         "equivalent of the reference's torch.distributed init, "
+                         "train.py:45-46). Launch one process per host with the "
+                         "same --coordinator and --num-processes and a unique "
+                         "--process-id; TPU pod slices that set the cluster env "
+                         "need none of these (auto-detected)")
+    ap.add_argument("--num-processes", type=int, default=0,
+                    help="total process count for --coordinator launches")
+    ap.add_argument("--process-id", type=int, default=-1,
+                    help="this process's rank for --coordinator launches")
     args = ap.parse_args()
 
     from pytorch_object_detection_tpu.core import config as C
@@ -96,7 +107,12 @@ def main():
     from pytorch_object_detection_tpu.train.trainer import create_train_state, make_train_step
     from pytorch_object_detection_tpu.utils.metrics import MetricWriter
 
-    initialize_distributed()
+    if args.coordinator:
+        initialize_distributed(coordinator=args.coordinator,
+                               num_processes=args.num_processes or None,
+                               process_id=args.process_id if args.process_id >= 0 else None)
+    else:
+        initialize_distributed()
     cfg = C.load_config(args.config)
     name = cfg["model"]["name"]
     block = C.model_block(cfg)
@@ -135,7 +151,10 @@ def main():
 
     train_step = make_train_step(model, shapes, strides, ranges, block.get("criterion", "giou"), compute_dtype)
     preprocess = make_device_preprocess(train=True)
-    mesh = create_mesh() if cfg["model"].get("ddp", True) and len(jax.devices()) > 1 else None
+    # multi-process runs REQUIRE the global mesh: without it each rank would
+    # duplicate the work and hold host-local state orbax cannot save
+    use_mesh = (cfg["model"].get("ddp", True) or jax.process_count() > 1) and len(jax.devices()) > 1
+    mesh = create_mesh() if use_mesh else None
     if mesh is not None:
         state = replicate_state(mesh, state)
 
@@ -224,10 +243,14 @@ def main():
                       f" ({rate:.1f} img/s)", flush=True)
             if interrupted["flag"] or (args.steps and step_count >= args.steps):
                 done = True
-                if interrupted["flag"] and jax.process_index() == 0:
+                if interrupted["flag"]:
+                    # orbax save is a COLLECTIVE in a multi-process runtime
+                    # (internal broadcast/allgather) — every process must
+                    # call it, on a SHARED --checkpoint-dir; orbax elects
+                    # the writers. Gating on process 0 deadlocks gloo/ICI.
                     ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
                 break
-        if (jax.process_index() == 0 and not args.synthetic
+        if (not args.synthetic
                 and ((epoch + 1) % args.ckpt_every == 0 or done or epoch + 1 == epochs)):
             ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
         if (
@@ -247,9 +270,8 @@ def main():
                 print(f"new best mAP {mAP:.4f} at epoch {epoch}", flush=True)
         if done:
             break
-    if jax.process_index() == 0:
-        ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
-        print("training done: step", step_count)
+    ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
+    print("training done: step", step_count)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,13 @@ def initialize_distributed(
     Exercised for real (2 CPU processes) by tests/test_multiprocess.py.
     """
     if coordinator is not None:
+        # must be decided BEFORE backends initialize (jax.default_backend()
+        # here would lock in the platform) — read the config value instead
+        if (jax.config.jax_platforms or "").startswith("cpu"):
+            try:  # cross-process CPU collectives ride gloo where configurable
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
@@ -78,10 +85,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch onto the mesh, sharded over the data axis."""
+    """Place a per-process batch onto the mesh, sharded over the data axis.
+
+    Single-process: a plain device_put.  Multi-process: torch-DDP batch
+    semantics (`/root/reference/train.py:43-58` — batch_size is per-rank):
+    each process contributes its local batch as its row-slice of a global
+    array of leading dim ``local_B * process_count``, via
+    `jax.make_array_from_process_local_data` (device_put cannot target
+    non-addressable devices).
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_state(mesh: Mesh, state):
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), state)
+    repl = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+    # every process holds the same host-local value (same PRNG seed / same
+    # restored checkpoint); assemble it into one fully-replicated global array
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            repl, np.asarray(x), np.shape(x)),
+        state,
+    )

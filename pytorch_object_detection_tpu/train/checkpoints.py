@@ -39,7 +39,8 @@ def save_checkpoint(directory: str, state, step: Optional[int] = None, keep: int
     }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, ckpt, force=True)
-    _gc_old(directory, keep)
+    if jax.process_index() == 0:  # save is collective; GC is not — one rmtree
+        _gc_old(directory, keep)
     return path
 
 

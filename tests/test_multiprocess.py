@@ -106,3 +106,45 @@ def test_two_process_distributed_train_step(tmp_path):
         res[0]["head_norm"], float(jnp.linalg.norm(leaf.astype(jnp.float32))),
         rtol=1e-4,
     )
+
+
+def test_two_process_cli_launch(tmp_path):
+    """The user-facing launch path: two `scripts/train.py` processes joined
+    by --coordinator/--num-processes/--process-id (the reference's
+    torch.distributed env:// launch UX, /root/reference/train.py:43-58).
+    Each process owns 1 CPU device; both must train 2 synthetic steps on
+    the shared 2-device mesh and exit 0 with identical (replicated) losses."""
+    from tests.test_scripts import _write_config
+
+    cfg = _write_config(tmp_path, str(tmp_path / "unused_voc"))
+    port = _free_port()
+    env = {**os.environ, "PODT_FORCE_CPU": "1"}
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_REPO, "scripts", "train.py"),
+             "--config", cfg, "--synthetic", "--steps", "2", "--log-every", "1",
+             "--checkpoint-dir", str(tmp_path / "ckpt"),  # SHARED: orbax save is collective
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            cwd=_REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"CLI worker failed:\n{log[-4000:]}"
+    # rank 0 logs the (pmean-replicated) losses; both ranks ran both steps
+    step_lines = [l for l in logs[0].splitlines() if l.startswith("step ")]
+    assert len(step_lines) == 2, logs[0][-2000:]
+    assert "training done: step 2" in logs[0]
+    assert "training done: step 2" in logs[1]
