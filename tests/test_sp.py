@@ -1,0 +1,59 @@
+"""Spatial partitioning (parallel/sp.py): a dp*sp train step with image rows
+sharded over the 'model' axis must equal the single-device step — GSPMD's
+conv halo exchanges and loss-reduction collectives are semantics-preserving.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from pytorch_object_detection_tpu.models.fcos import HISFCOS
+from pytorch_object_detection_tpu.parallel.mesh import MODEL_AXIS, create_mesh
+from pytorch_object_detection_tpu.parallel.sp import shard_batch_spatial
+from pytorch_object_detection_tpu.train.trainer import create_train_state, make_train_step
+
+HW = (128, 128)
+STRIDES = [8, 16, 32, 64, 128]
+SHAPES = [(HW[0] // s, HW[1] // s) for s in STRIDES]
+RANGES = [(-1, 32), (32, 96), (96, 192), (192, 384), (384, 9999999)]
+
+
+def test_sp_step_matches_single_device():
+    model = HISFCOS(num_classes=20, features=64)
+    state = create_train_state(model, jax.random.PRNGKey(1), (1, *HW, 3), {"lr": 1e-2})
+    step = make_train_step(
+        model, SHAPES, STRIDES, RANGES, compute_dtype=jnp.float32, donate=False
+    )
+    b = 2
+    img = jnp.asarray(np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (b, *HW, 3))))
+    boxes = jnp.asarray(
+        np.tile(np.array([[[10.0, 10.0, 80.0, 90.0], [-1.0] * 4]], np.float32), (b, 1, 1))
+    )
+    labels = jnp.asarray(np.tile(np.array([[3, -1]], np.int32), (b, 1)))
+
+    ref_state, ref_metrics = step(state, img, boxes, labels)
+
+    # 8 CPU devices -> dp=2 x sp=4: each device holds 2 images' 32-row bands
+    mesh = create_mesh(data_parallel=2, model_parallel=4)
+    sp_img, sp_boxes, sp_labels = shard_batch_spatial(mesh, img, boxes, labels)
+    assert sp_img.sharding.spec == P("data", MODEL_AXIS)
+    assert sp_img.addressable_shards[0].data.shape == (1, 32, 128, 3)
+
+    from pytorch_object_detection_tpu.parallel.mesh import replicated
+
+    sp_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated(mesh)), state
+    )
+    sp_new_state, sp_metrics = step(sp_state, sp_img, sp_boxes, sp_labels)
+
+    np.testing.assert_allclose(
+        float(sp_metrics["total"]), float(ref_metrics["total"]), rtol=1e-5
+    )
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
+    sp_leaves = jax.tree_util.tree_leaves(jax.device_get(sp_new_state.params))
+    for r, t in zip(ref_leaves, sp_leaves):
+        # atol covers near-zero grads whose halo-exchange summation order
+        # differs (measured worst: 4.7e-6 abs on 13 of 590k elements)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(t), rtol=2e-4, atol=1e-5)
