@@ -47,8 +47,12 @@ def main():
     ds_cfg = cfg["dataset_setting"]
     dataset = COCODataset(ds_cfg["ValData"], ds_cfg["ValAnnotation"], canvas, filter_empty=False)
     eval_cfg = block.get("eval", {})
+    strides = C.strides(cfg) if "stride" in block else (8, 16, 32, 64, 128)
     pipeline = None
     if args.int8:
+        assert cfg["model"]["name"] not in ("RETINANET", "SSD300"), (
+            "--int8 serving ladder covers the FCOS-family detectors; "
+            "RetinaNet/SSD300 evaluate on the bf16 path")
         import jax.numpy as jnp
 
         from pytorch_object_detection_tpu.data.pipeline import (
@@ -73,7 +77,7 @@ def main():
         )
     stats = evaluate_coco(
         model, state.params, state.batch_stats, dataset,
-        strides=C.strides(cfg), batch_size=args.batch_size, results_json=args.results_json,
+        strides=strides, batch_size=args.batch_size, results_json=args.results_json,
         score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
         nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
         max_detections=int(eval_cfg.get("max_detections", 1000)),

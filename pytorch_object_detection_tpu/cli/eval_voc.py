@@ -55,8 +55,12 @@ def main():
     dataset = VOCDataset([ds_root], args.split, canvas,
                          raw_tiles=args.device_resize)
     eval_cfg = block.get("eval", {})  # optional overrides of the reference defaults
+    strides = C.strides(cfg) if "stride" in block else (8, 16, 32, 64, 128)
     pipeline = None
     if args.int8:
+        assert cfg["model"]["name"] not in ("RETINANET", "SSD300"), (
+            "--int8 serving ladder covers the FCOS-family detectors; "
+            "RetinaNet/SSD300 evaluate on the bf16 path")
         import jax.numpy as jnp
         import numpy as np
 
@@ -87,7 +91,7 @@ def main():
         )
     evaluate_voc(
         model, state.params, state.batch_stats, dataset,
-        strides=C.strides(cfg), batch_size=args.batch_size, num_classes=C.num_classes(cfg),
+        strides=strides, batch_size=args.batch_size, num_classes=C.num_classes(cfg),
         score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
         nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
         max_detections=int(eval_cfg.get("max_detections", 1000)),

@@ -52,14 +52,16 @@ def _run_eval(cfg, model, state) -> float:
     from pytorch_object_detection_tpu.eval.evaluator import evaluate_coco, evaluate_voc
 
     dataset = build_dataset(cfg, train=False)
+    strides = (C.strides(cfg) if "stride" in C.model_block(cfg)
+               else (8, 16, 32, 64, 128))  # unused by anchor-codec pipelines
     if cfg["model"]["dataset"] == "VOC":
         result = evaluate_voc(
             model, state.params, state.batch_stats, dataset,
-            strides=C.strides(cfg), num_classes=C.num_classes(cfg), verbose=False,
+            strides=strides, num_classes=C.num_classes(cfg), verbose=False,
         )
         return float(result["mAP"])
     result = evaluate_coco(model, state.params, state.batch_stats, dataset,
-                           strides=C.strides(cfg), verbose=False)
+                           strides=strides, verbose=False)
     return float(result["AP"])
 
 
@@ -86,6 +88,21 @@ def main():
                     help="fetch the pipelined loss scalar every N steps. Each fetch "
                          "is a host roundtrip (~24 ms on the axon tunnel) that paces "
                          "the loop; N>1 trades NaN-halt latency for throughput")
+    ap.add_argument("--swa", action="store_true",
+                    help="stochastic weight averaging: keep a running average "
+                         "of params (train/swa.py) and save it as "
+                         "<savename>_swa at the end (the reference's dead "
+                         "swa_enabled flag, made real)")
+    ap.add_argument("--swa-start-step", type=int, default=0,
+                    help="step to start averaging (and to drop to --swa-lr)")
+    ap.add_argument("--swa-every", type=int, default=0,
+                    help="also average every N steps (0 = at epoch ends only)")
+    ap.add_argument("--swa-decay", type=float, default=0.0,
+                    help="EMA decay in (0,1); 0 = uniform average (torch "
+                         "AveragedModel default)")
+    ap.add_argument("--swa-lr", type=float, default=0.0,
+                    help="SWALR constant learning rate after --swa-start-step "
+                         "(0 = keep the base schedule)")
     ap.add_argument("--coordinator", default="",
                     help="multi-host launch: coordinator host:port (the env:// "
                          "equivalent of the reference's torch.distributed init, "
@@ -118,9 +135,10 @@ def main():
     block = C.model_block(cfg)
     canvas = C.canvas_hw(cfg)
     n_classes = C.num_classes(cfg)
-    strides = C.strides(cfg)
-    ranges = C.limit_ranges(cfg)
-    shapes = C.level_shapes(cfg)
+    anchor_based = name in ("RETINANET", "SSD300")
+    strides = C.strides(cfg) if "stride" in block else ()
+    ranges = C.limit_ranges(cfg) if "range" in block else ()
+    shapes = C.level_shapes(cfg) if "stride" in block else ()
     batch_size = int(block["batch_size"])
     compute_dtype = jnp.bfloat16 if cfg["model"].get("amp", True) else jnp.float32
 
@@ -140,6 +158,8 @@ def main():
             "warmup_factor": float(sched.get("warmup_factor", 1.0 / 3.0)),
             "milestones": tuple(sched.get("milestones", (120000, 160000))),
             "gamma": float(sched.get("gamma", 0.1)),
+            "swa_lr": args.swa_lr if args.swa else 0.0,
+            "swa_start_step": args.swa_start_step,
         },
         freeze_bn=True,
         frozen_stages=1 if name == "HISFCOS" else 0,
@@ -149,7 +169,31 @@ def main():
     if args.resume:
         state = ckpt.restore_checkpoint(args.resume, state)
 
-    train_step = make_train_step(model, shapes, strides, ranges, block.get("criterion", "giou"), compute_dtype)
+    if anchor_based:
+        # RetinaNet/SSD ride the anchor codec train step (the reference
+        # ships both without any training path — SURVEY §2.6)
+        from pytorch_object_detection_tpu.train.trainer import make_anchor_train_step
+
+        if name == "SSD300":
+            from pytorch_object_detection_tpu.models.ssd import default_boxes
+
+            anchors = default_boxes(canvas[0])
+            train_step = make_anchor_train_step(
+                model, anchors, n_classes, compute_dtype,
+                pos_iou=float(block.get("pos_iou", 0.5)),
+                neg_iou=float(block.get("neg_iou", 0.5)),
+                loss="multibox")
+        else:
+            from pytorch_object_detection_tpu.ops.anchors import generate_anchors
+
+            anchors = generate_anchors(model.level_shapes(canvas), strides)
+            train_step = make_anchor_train_step(
+                model, anchors, n_classes, compute_dtype,
+                pos_iou=float(block.get("pos_iou", 0.5)),
+                neg_iou=float(block.get("neg_iou", 0.4)),
+                loss="focal")
+    else:
+        train_step = make_train_step(model, shapes, strides, ranges, block.get("criterion", "giou"), compute_dtype)
     preprocess = make_device_preprocess(train=True)
     # multi-process runs REQUIRE the global mesh: without it each rank would
     # duplicate the work and hold host-local state orbax cannot save
@@ -194,6 +238,13 @@ def main():
     prev_total = None
     best_map = -1.0
 
+    swa_state = None
+    if args.swa:
+        from pytorch_object_detection_tpu.train.swa import swa_init, swa_update
+
+        swa_state = swa_init(state.params)
+        swa_decay = args.swa_decay if args.swa_decay > 0 else None
+
     # preemption handling: SIGTERM/SIGINT checkpoint-and-exit (the reference's
     # commented train_interupter hook, train.py:144-146, made real — combined
     # with orbax full-state restore this gives true preemption recovery)
@@ -219,6 +270,9 @@ def main():
                 lbls = jnp.asarray(labels)
             state, metrics = train_step(state, imgs, bxs, lbls)
             step_count += 1
+            if (args.swa and args.swa_every and step_count >= args.swa_start_step
+                    and step_count % args.swa_every == 0):
+                swa_state = swa_update(swa_state, state.params, swa_decay)
             # NaN guard, pipelined one step behind: fetch the PREVIOUS
             # step's total while this one runs (no device stall).  The
             # fetch itself is a tunnel roundtrip, so its cadence is a flag.
@@ -250,6 +304,8 @@ def main():
                     # the writers. Gating on process 0 deadlocks gloo/ICI.
                     ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
                 break
+        if args.swa and not args.swa_every and step_count >= args.swa_start_step:
+            swa_state = swa_update(swa_state, state.params, swa_decay)
         if (not args.synthetic
                 and ((epoch + 1) % args.ckpt_every == 0 or done or epoch + 1 == epochs)):
             ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
@@ -271,6 +327,13 @@ def main():
         if done:
             break
     ckpt.save_checkpoint(os.path.join(args.checkpoint_dir, cfg["savename"]), state)
+    if args.swa and int(swa_state.count) > 0:
+        # averaged weights as a separate run (backbone BN is frozen, so no
+        # BN re-estimation pass is needed — stats never moved)
+        ckpt.save_checkpoint(
+            os.path.join(args.checkpoint_dir, cfg["savename"] + "_swa"),
+            state.replace(params=swa_state.params), keep=1)
+        print(f"swa: averaged {int(swa_state.count)} snapshots")
     print("training done: step", step_count)
 
 

@@ -70,7 +70,9 @@ def strides(config: Dict[str, Any]) -> List[int]:
 
 
 def input_hw(config: Dict[str, Any]) -> Tuple[int, int]:
-    size = config["dataset_setting"]["input"]
+    """Input size; a model block may override the dataset default (SSD300
+    is defined at a fixed 300x300 regardless of dataset)."""
+    size = model_block(config).get("input", config["dataset_setting"]["input"])
     return int(size[0]), int(size[1])
 
 
@@ -86,15 +88,16 @@ def level_shapes(config: Dict[str, Any]) -> List[Tuple[int, int]]:
     canvas to the configured input size (carrying a resize `scale` per image
     like the reference's eval path, Test_coco.py:63).
     """
-    h, w = input_hw(config)
-    h = _round_up(h, 128)
-    w = _round_up(w, 128)
+    h, w = canvas_hw(config)
     return [( _ceil_div(h, s), _ceil_div(w, s)) for s in strides(config)]
 
 
 def canvas_hw(config: Dict[str, Any]) -> Tuple[int, int]:
+    # canvas_align=1 keeps exact sizes for models defined at a fixed
+    # resolution (SSD300); FPN models align to the 128 max stride
+    align = int(model_block(config).get("canvas_align", 128))
     h, w = input_hw(config)
-    return _round_up(h, 128), _round_up(w, 128)
+    return _round_up(h, align), _round_up(w, align)
 
 
 def _ceil_div(a: int, b: int) -> int:

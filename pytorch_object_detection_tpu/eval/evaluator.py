@@ -77,6 +77,80 @@ def make_eval_pipeline(
     return pipeline
 
 
+def make_eval_pipeline_anchor(
+    model,
+    canvas_hw,
+    score_threshold: float = 0.05,
+    nms_iou: float = 0.5,
+    max_detections: int = 1000,
+    compute_dtype=jnp.bfloat16,
+    mean=None,
+    std=None,
+):
+    """Eval pipeline for anchor-based detectors (RetinaNet / SSD300).
+
+    Same one-jitted-program shape as :func:`make_eval_pipeline` but the
+    decode is the anchor codec (`ops/anchors.decode_anchor_detections` —
+    the device replacement for the reference's host-side DataEncoder.decode,
+    `/root/reference/utill/utills.py:161-179`).  Output contract
+    (:class:`..ops.postprocess.Detections`) is identical, so the VOC/COCO
+    evaluators and metrics run unchanged.
+    """
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.models.ssd import SSD300, default_boxes
+    from pytorch_object_detection_tpu.ops.anchors import (
+        decode_anchor_detections,
+        generate_anchors,
+    )
+
+    mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
+    if isinstance(model, SSD300):
+        assert canvas_hw[0] == canvas_hw[1] == 300, (
+            f"SSD300 is defined at 300x300 (config block: input [300,300], "
+            f"canvas_align 1); got {canvas_hw}")
+        anchors = default_boxes(canvas_hw[0])
+        activation = "softmax_bg0"
+    else:  # RetinaNet layout
+        anchors = generate_anchors(
+            model.level_shapes(canvas_hw), (8, 16, 32, 64, 128))
+        activation = "sigmoid"
+
+    def body(anchors, params, batch_stats, images_u8):
+        x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        apply_vars = {"params": jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), params)}
+        if batch_stats:
+            apply_vars["batch_stats"] = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), batch_stats)
+        loc, cls = model.apply(apply_vars, x.astype(compute_dtype), False)
+        return decode_anchor_detections(
+            anchors, loc.astype(jnp.float32), cls.astype(jnp.float32),
+            activation, score_threshold, nms_iou, max_detections, canvas_hw,
+        )
+
+    # anchors ride as a jit argument (closure-captured arrays constant-fold
+    # through the remote-compile tunnel, PERF.md)
+    jitted = jax.jit(body)
+    return lambda params, batch_stats, images_u8: jitted(
+        anchors, params, batch_stats, images_u8)
+
+
+def _default_pipeline(model, strides, canvas_hw, score_threshold, nms_iou,
+                      max_detections, device_resize: bool = False):
+    """Dispatch: FCOS-family per-level decode vs anchor codec decode."""
+    from pytorch_object_detection_tpu.models.retinanet import RetinaNet
+    from pytorch_object_detection_tpu.models.ssd import SSD300
+
+    if isinstance(model, (RetinaNet, SSD300)):
+        assert not device_resize, "device-resize path: FCOS-family only"
+        return make_eval_pipeline_anchor(
+            model, canvas_hw, score_threshold, nms_iou, max_detections)
+    return make_eval_pipeline(
+        model, strides, canvas_hw, score_threshold, nms_iou, max_detections,
+        device_resize=device_resize)
+
+
 def _run_pipeline(pipeline, params, batch_stats, images, mesh=None, src_hw=None):
     """Run the jitted pipeline, optionally with the batch sharded over the
     mesh's data axis (the loader pads the last batch, so every batch shards
@@ -338,7 +412,7 @@ def evaluate_voc(
     """
     canvas_hw = dataset.canvas_hw
     if pipeline is None:
-        pipeline = make_eval_pipeline(
+        pipeline = _default_pipeline(
             model, strides, canvas_hw, score_threshold, nms_iou, max_detections,
             device_resize=bool(getattr(dataset, "raw_tiles", False)),
         )
@@ -395,7 +469,7 @@ def evaluate_coco(
     canvas_hw = dataset.canvas_hw
     num_classes = len(dataset.class_names)
     if pipeline is None:
-        pipeline = make_eval_pipeline(
+        pipeline = _default_pipeline(
             model, strides, canvas_hw, score_threshold, nms_iou, max_detections
         )
     loader = DetectionLoader(

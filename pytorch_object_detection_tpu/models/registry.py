@@ -35,6 +35,11 @@ def build_model(name: str, num_classes: int, features: int = 256, **kwargs):
         raise KeyError(f"unknown model '{name}'; available: {available_models()}")
     ctor = _REGISTRY[key]
     fields = {f.name for f in dataclasses.fields(ctor)}
+    if key == "SSD300":
+        # SSD's softmax head carries an explicit background class 0; callers
+        # pass the dataset's foreground count (reference ssd.py num_class=21
+        # for VOC's 20 classes)
+        num_classes = num_classes + 1
     all_kwargs = {"num_classes": num_classes, "features": features, **kwargs}
     return ctor(**{k: v for k, v in all_kwargs.items() if k in fields})
 

@@ -19,7 +19,12 @@ class SWAState(NamedTuple):
 
 
 def swa_init(params) -> SWAState:
-    return SWAState(jax.tree_util.tree_map(jnp.asarray, params), jnp.zeros((), jnp.int32))
+    # copy=True: the live params' buffers are DONATED into the next train
+    # step (make_train_step donate_argnums); the average must own its memory
+    return SWAState(
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params),
+        jnp.zeros((), jnp.int32),
+    )
 
 
 def swa_update(state: SWAState, params, decay: Optional[float] = None) -> SWAState:

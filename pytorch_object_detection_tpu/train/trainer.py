@@ -141,6 +141,13 @@ def create_train_state(
         cfg.get("milestones", (120000, 160000)),
         cfg.get("gamma", 0.1),
     )
+    if cfg.get("swa_lr"):
+        # SWALR: constant LR once averaging starts (train/swa.py; the
+        # reference's dead swa flag, /root/reference/train.py:13,201-206)
+        base, swa_v = schedule, float(cfg["swa_lr"])
+        start = int(cfg.get("swa_start_step", 0))
+        schedule = lambda step: jnp.where(
+            jnp.asarray(step) < start, base(step), swa_v)
     tx = make_optimizer(
         cfg.get("name", "SGD"),
         schedule,
