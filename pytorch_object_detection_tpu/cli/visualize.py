@@ -35,7 +35,7 @@ def main():
     from pytorch_object_detection_tpu.core import config as C
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     from pytorch_object_detection_tpu.data.voc import resize_to_canvas
-    from pytorch_object_detection_tpu.eval.evaluator import make_eval_pipeline
+    from pytorch_object_detection_tpu.eval.evaluator import _default_pipeline
     from pytorch_object_detection_tpu.models.registry import build_model
     from pytorch_object_detection_tpu.train import checkpoints as ckpt
     from pytorch_object_detection_tpu.train.trainer import create_train_state
@@ -52,14 +52,21 @@ def main():
     raw = np.asarray(Image.open(args.image).convert("RGB"))
     canvas_img, _, scale, _ = resize_to_canvas(raw, None, canvas)
 
-    pipeline = make_eval_pipeline(model, C.strides(cfg), canvas, args.score_threshold)
+    strides = C.strides(cfg) if "stride" in block else (8, 16, 32, 64, 128)
+    pipeline = _default_pipeline(model, strides, canvas, args.score_threshold,
+                                 0.6, 1000)
     det = pipeline(state.params, state.batch_stats, jnp.asarray(canvas_img[None]))
 
-    # gradcam heatmap over the normalized input
-    norm = (canvas_img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-    cam = gradcam_fcos(model, {"params": state.params, "batch_stats": state.batch_stats},
-                       jnp.asarray(norm[None]))[0]
-    overlay = overlay_heatmap(canvas_img, cam)
+    if cfg["model"]["name"] in ("RETINANET", "SSD300"):
+        # GradCAM targets the FCOS-family heads (matching the reference's
+        # visualization.py scope); anchor models get the detection overlay
+        overlay = canvas_img.copy()
+    else:
+        # gradcam heatmap over the normalized input
+        norm = (canvas_img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        cam = gradcam_fcos(model, {"params": state.params, "batch_stats": state.batch_stats},
+                           jnp.asarray(norm[None]))[0]
+        overlay = overlay_heatmap(canvas_img, cam)
 
     names = cfg["dataset_setting"]["class"]
     valid = np.asarray(det.valid[0])

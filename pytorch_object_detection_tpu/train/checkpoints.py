@@ -45,7 +45,16 @@ def save_checkpoint(directory: str, state, step: Optional[int] = None, keep: int
 
 
 def restore_checkpoint(directory_or_path: str, state):
-    """Restore into an existing TrainState template (shape/dtype donor)."""
+    """Restore into an existing TrainState template (shape/dtype donor).
+
+    Platform-agnostic: every leaf is restored as host numpy (orbax would
+    otherwise replay the SAVING runtime's device sharding, which breaks
+    restoring a TPU-trained checkpoint on CPU) and grafted into the
+    template's pytree structure.  A checkpoint whose optimizer state was
+    built with different freeze masks than the template (e.g. eval
+    restoring a training run) keeps the template's fresh optimizer state —
+    params/batch_stats/step are what eval needs.
+    """
     import orbax.checkpoint as ocp
 
     path = directory_or_path
@@ -54,19 +63,48 @@ def restore_checkpoint(directory_or_path: str, state):
         if not steps:
             raise FileNotFoundError(f"no checkpoints under {path}")
         path = os.path.join(path, steps[-1])
-    template = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": np.asarray(int(state.step)),
-    }
-    with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path), item=template)
+    path = os.path.abspath(path)
+
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        md = ckptr.metadata(path)
+        md_tree = getattr(md, "item_metadata", md)
+        md_tree = getattr(md_tree, "tree", md_tree)
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), md_tree
+        )
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
+
+    def graft(template, rec):
+        """Rebuild `template`'s pytree (incl. NamedTuple optimizer nodes,
+        which orbax serializes as dicts) from the restored leaves; None on
+        any structural/shape mismatch."""
+        if rec is None:
+            return None
+        t_leaves, t_def = jax.tree_util.tree_flatten(template)
+        r_leaves = jax.tree_util.tree_leaves(rec)
+        if len(t_leaves) != len(r_leaves):
+            return None
+        if any(np.shape(t) != np.shape(r) for t, r in zip(t_leaves, r_leaves)):
+            return None
+        return jax.tree_util.tree_unflatten(t_def, r_leaves)
+
+    params = graft(state.params, restored.get("params"))
+    if params is None:
+        raise ValueError(
+            f"checkpoint at {path} does not match the model's parameter tree")
+    batch_stats = graft(state.batch_stats, restored.get("batch_stats"))
+    if batch_stats is None:
+        batch_stats = state.batch_stats
+    opt_state = graft(state.opt_state, restored.get("opt_state"))
+    if opt_state is None:  # e.g. different freeze masks: fresh optimizer
+        opt_state = state.opt_state
     return state.replace(
-        params=restored["params"],
-        batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-        step=jax.numpy.asarray(int(restored["step"])),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jax.numpy.asarray(int(np.asarray(restored["step"]))),
     )
 
 
