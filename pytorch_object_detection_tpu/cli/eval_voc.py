@@ -58,9 +58,9 @@ def main():
     strides = C.strides(cfg) if "stride" in block else (8, 16, 32, 64, 128)
     pipeline = None
     if args.int8:
-        assert cfg["model"]["name"] not in ("RETINANET", "SSD300"), (
-            "--int8 serving ladder covers the FCOS-family detectors; "
-            "RetinaNet/SSD300 evaluate on the bf16 path")
+        assert cfg["model"]["name"] != "SSD300", (
+            "--int8 covers the ResNet-50 families (FCOS-family + RetinaNet); "
+            "SSD300 (VGG backbone) evaluates on the bf16 path")
         import jax.numpy as jnp
         import numpy as np
 
@@ -79,16 +79,30 @@ def main():
             calib_ds, min(args.batch_size, 8), shuffle=False, drop_last=False, num_workers=2)))
         calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        pipeline = make_eval_pipeline_int8(
-            model, {"params": state.params, "batch_stats": state.batch_stats},
-            calib, C.strides(cfg), canvas,
-            score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
-            nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
-            max_detections=int(eval_cfg.get("max_detections", 1000)),
-            nms_impl="auto",
-            backend="xla" if os.environ.get("PODT_FORCE_CPU") else "pallas_block",
-            device_resize=args.device_resize,
-        )
+        if cfg["model"]["name"] == "RETINANET":
+            from pytorch_object_detection_tpu.eval.evaluator import (
+                make_eval_pipeline_anchor_int8,
+            )
+
+            pipeline = make_eval_pipeline_anchor_int8(
+                model, {"params": state.params, "batch_stats": state.batch_stats},
+                calib, canvas,
+                score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
+                nms_iou=float(eval_cfg.get("nms_iou", 0.5)),
+                max_detections=int(eval_cfg.get("max_detections", 1000)),
+                backend="xla" if os.environ.get("PODT_FORCE_CPU") else "pallas_block",
+            )
+        else:
+            pipeline = make_eval_pipeline_int8(
+                model, {"params": state.params, "batch_stats": state.batch_stats},
+                calib, C.strides(cfg), canvas,
+                score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
+                nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
+                max_detections=int(eval_cfg.get("max_detections", 1000)),
+                nms_impl="auto",
+                backend="xla" if os.environ.get("PODT_FORCE_CPU") else "pallas_block",
+                device_resize=args.device_resize,
+            )
     evaluate_voc(
         model, state.params, state.batch_stats, dataset,
         strides=strides, batch_size=args.batch_size, num_classes=C.num_classes(cfg),

@@ -136,6 +136,55 @@ def make_eval_pipeline_anchor(
         anchors, params, batch_stats, images_u8)
 
 
+def make_eval_pipeline_anchor_int8(
+    model,
+    variables,
+    calib_images,
+    canvas_hw,
+    score_threshold: float = 0.05,
+    nms_iou: float = 0.5,
+    max_detections: int = 1000,
+    mean=None,
+    std=None,
+    backend: str = "pallas_block",
+):
+    """int8-PTQ serving pipeline for RetinaNet (anchor family's counterpart
+    of :func:`make_eval_pipeline_int8`): int8 ResNet-50 -> BN-folded int8
+    RetinaFPN -> int8 subnets -> anchor decode, one jitted program.
+
+    ``calib_images``: representative NORMALIZED batch.  (SSD300 is VGG-based
+    and stays on the bf16 path.)
+    """
+    from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from pytorch_object_detection_tpu.models.retinanet import RetinaNet
+    from pytorch_object_detection_tpu.models.retinanet_int8 import (
+        quantize_retinanet,
+        retinanet_int8_forward,
+    )
+    from pytorch_object_detection_tpu.ops.anchors import (
+        decode_anchor_detections,
+        generate_anchors,
+    )
+
+    assert isinstance(model, RetinaNet), "int8 anchor ladder covers RetinaNet"
+    mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
+    qtree = quantize_retinanet(model, variables, calib_images, backend=backend)
+    anchors = generate_anchors(model.level_shapes(canvas_hw), (8, 16, 32, 64, 128))
+
+    def body(qtree, anchors, params, batch_stats, images_u8):
+        x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        loc, cls = retinanet_int8_forward(model, qtree, x, backend=backend)
+        return decode_anchor_detections(
+            anchors, loc, cls, "sigmoid", score_threshold, nms_iou,
+            max_detections, canvas_hw,
+        )
+
+    jitted = jax.jit(body)  # qtree/anchors as args: no giant jit constants
+    return lambda params, batch_stats, images_u8: jitted(
+        qtree, anchors, params, batch_stats, images_u8)
+
+
 def _default_pipeline(model, strides, canvas_hw, score_threshold, nms_iou,
                       max_detections, device_resize: bool = False):
     """Dispatch: FCOS-family per-level decode vs anchor codec decode."""
