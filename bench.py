@@ -50,7 +50,10 @@ def build_pipeline(mode: str, hw, batch_size: int):
     # PODT_BENCH_MODEL switches the model family (the quantize_*/
     # make_eval_forward_int8 helpers dispatch on the model class);
     # PODT_BENCH_CLASSES=80 benches the COCO head (pred pad 96, not 32)
-    cls = {"hisfcos": HISFCOS, "fcos": FCOS, "mnfcos": MNFCOS}[
+    from pytorch_object_detection_tpu.models.retinanet import RetinaNet
+
+    cls = {"hisfcos": HISFCOS, "fcos": FCOS, "mnfcos": MNFCOS,
+           "retinanet": RetinaNet}[
         os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()]
     kw = {"num_classes": int(os.environ.get("PODT_BENCH_CLASSES", "20"))}
     if os.environ.get("PODT_BENCH_BACKBONE"):  # e.g. efficientnet-b0 (FCOS)
@@ -65,6 +68,49 @@ def build_pipeline(mode: str, hw, batch_size: int):
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     strides = [8, 16, 32, 64, 128]
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch_size, *hw, 3), jnp.float32)
+
+    if isinstance(model, RetinaNet):
+        # anchor family: decode is the anchor codec; int8 is the
+        # models/retinanet_int8.py ladder (normalized float input — no
+        # u8-stem fold on this path yet)
+        from pytorch_object_detection_tpu.ops.anchors import (
+            decode_anchor_detections,
+            generate_anchors,
+        )
+
+        anchors = generate_anchors(model.level_shapes(hw), strides)
+        backend = "xla" if jax.devices()[0].platform == "cpu" else "pallas_block"
+        if mode == "int8":
+            from pytorch_object_detection_tpu.models.retinanet_int8 import (
+                quantize_retinanet,
+                retinanet_int8_forward,
+            )
+
+            qtree = quantize_retinanet(model, variables, images[:8], backend=backend)
+
+            def eval_pipeline(qtree, anchors, images):
+                loc, cl = retinanet_int8_forward(model, qtree, images, backend=backend)
+                det = decode_anchor_detections(
+                    anchors, loc, cl, "sigmoid", 0.05, 0.5, 1000, hw)
+                return det.scores.sum() + det.valid.sum()
+
+            jp = jax.jit(eval_pipeline)
+            return (lambda: jp(qtree, anchors, images)), images
+
+        def eval_pipeline(params, batch_stats, anchors, images):
+            v = {"params": jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), params)}
+            if batch_stats:
+                v["batch_stats"] = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16), batch_stats)
+            loc, cl = model.apply(v, images.astype(jnp.bfloat16), False)
+            det = decode_anchor_detections(
+                anchors, loc.astype(jnp.float32), cl.astype(jnp.float32),
+                "sigmoid", 0.05, 0.5, 1000, hw)
+            return det.scores.sum() + det.valid.sum()
+
+        jp = jax.jit(eval_pipeline)
+        return (lambda: jp(params, batch_stats, anchors, images)), images
 
     if mode == "int8":
         int8_fpn = os.environ.get("PODT_INT8_FPN", "1") == "1"

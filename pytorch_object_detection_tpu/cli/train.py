@@ -17,8 +17,13 @@ import time
 import jax
 
 if __import__("os").environ.get("PODT_FORCE_CPU"):
-    # test hook: the axon plugin ignores JAX_PLATFORMS, force via config
+    # test hook: the axon plugin ignores JAX_PLATFORMS, force via config.
+    # A value > 1 also sets the simulated CPU device count (multi-device
+    # layout tests: dp/tp/sp through the CLI)
     jax.config.update("jax_platforms", "cpu")
+    _n = __import__("os").environ["PODT_FORCE_CPU"]
+    if _n.isdigit() and int(_n) > 1:
+        jax.config.update("jax_num_cpu_devices", int(_n))
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +93,15 @@ def main():
                     help="fetch the pipelined loss scalar every N steps. Each fetch "
                          "is a host roundtrip (~24 ms on the axon tunnel) that paces "
                          "the loop; N>1 trades NaN-halt latency for throughput")
+    ap.add_argument("--model-parallel", type=int, default=1,
+                    help="size of the mesh's 'model' axis (devices per "
+                         "model-parallel group); data axis gets the rest")
+    ap.add_argument("--layout", default="tp", choices=("tp", "sp"),
+                    help="what the 'model' axis carries when "
+                         "--model-parallel > 1: tp = tensor parallelism "
+                         "(parallel/tp.py, params+optimizer channel-sharded), "
+                         "sp = spatial partitioning (parallel/sp.py, image "
+                         "rows sharded; params replicated)")
     ap.add_argument("--swa", action="store_true",
                     help="stochastic weight averaging: keep a running average "
                          "of params (train/swa.py) and save it as "
@@ -197,10 +211,21 @@ def main():
     preprocess = make_device_preprocess(train=True)
     # multi-process runs REQUIRE the global mesh: without it each rank would
     # duplicate the work and hold host-local state orbax cannot save
-    use_mesh = (cfg["model"].get("ddp", True) or jax.process_count() > 1) and len(jax.devices()) > 1
-    mesh = create_mesh() if use_mesh else None
+    mp = max(1, args.model_parallel)
+    if mp > 1:
+        assert jax.process_count() == 1, (
+            "--model-parallel layouts are single-process (multi-host carries "
+            "dp; combine via pod-slice meshes)")
+    use_mesh = ((cfg["model"].get("ddp", True) or jax.process_count() > 1 or mp > 1)
+                and len(jax.devices()) > 1)
+    mesh = create_mesh(model_parallel=mp) if use_mesh else None
     if mesh is not None:
-        state = replicate_state(mesh, state)
+        if mp > 1 and args.layout == "tp":
+            from pytorch_object_detection_tpu.parallel.tp import shard_state_tp
+
+            state = shard_state_tp(mesh, state)
+        else:
+            state = replicate_state(mesh, state)
 
     writer = MetricWriter(os.path.join("runs", cfg["savename"])) if jax.process_index() == 0 else None
 
@@ -265,7 +290,15 @@ def main():
             rng, k = jax.random.split(rng)
             imgs, bxs = preprocess(k, jnp.asarray(images_u8), jnp.asarray(boxes), jnp.asarray(content_w))
             if mesh is not None:
-                imgs, bxs, lbls = shard_batch(mesh, (imgs, bxs, jnp.asarray(labels)))
+                if mp > 1 and args.layout == "sp":
+                    from pytorch_object_detection_tpu.parallel.sp import (
+                        shard_batch_spatial,
+                    )
+
+                    imgs, bxs, lbls = shard_batch_spatial(
+                        mesh, imgs, bxs, jnp.asarray(labels))
+                else:
+                    imgs, bxs, lbls = shard_batch(mesh, (imgs, bxs, jnp.asarray(labels)))
             else:
                 lbls = jnp.asarray(labels)
             state, metrics = train_step(state, imgs, bxs, lbls)

@@ -109,3 +109,23 @@ def test_shipped_configs_cover_all_models(tmp_path):
         voc = yaml.safe_load(f)
     for name in available_models():
         assert name in voc, f"config/voc.yaml lacks a {name} block"
+
+
+def test_model_parallel_cli(tmp_path):
+    """--model-parallel with both layouts (tp/sp) through podt-train on a
+    4-device CPU mesh (dp2 x mp2)."""
+    from tests.test_scripts import _write_config
+
+    cfg = _write_config(tmp_path, str(tmp_path / "unused"))
+    for layout in ("tp", "sp"):
+        env = {**os.environ, "PODT_FORCE_CPU": "4"}
+        env.pop("JAX_PLATFORMS", None)
+        r = subprocess.run(
+            [sys.executable, os.path.join("scripts", "train.py"), "--config", cfg,
+             "--synthetic", "--steps", "2", "--log-every", "1",
+             "--checkpoint-dir", str(tmp_path / f"ckpt_{layout}"),
+             "--model-parallel", "2", "--layout", layout],
+            cwd=_REPO, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert r.returncode == 0, (layout, r.stdout[-1500:], r.stderr[-1500:])
+        assert "training done: step 2" in r.stdout, layout
