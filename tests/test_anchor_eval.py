@@ -122,3 +122,44 @@ def test_ssd300_canvas_from_config(tmp_path):
     assert C.canvas_hw(cfg) == (300, 300)
     cfg["model"]["name"] = "HISFCOS"
     assert C.canvas_hw(cfg) == (512, 512)
+
+
+def test_ssd300_cli_train(tmp_path):
+    """SSD300 (multibox loss, fixed 300x300 canvas) trains through the
+    config CLI."""
+    main = tmp_path / "main_ssd.yaml"
+    voc = tmp_path / "voc_ssd.yaml"
+    voc.write_text(f"""
+dataset_setting:
+  class_num : 20
+  train_07 : '{tmp_path / "unused"}'
+  input : [512, 512]
+  type : 'trainval'
+  num_workers : 2
+  max_boxes : 8
+  class: ["a","b","c","d","e","f","g","h","i","j","k","l","m","n","o","p","q","r","s","t"]
+SSD300:
+  input : [300, 300]
+  canvas_align : 1
+  channel : 256
+  Epoch : 1
+  batch_size : 2
+  optimizer: {{name: SGD, lr: 1.0e-3, momentum: 0.9, weight_decay: 0.0005}}
+  criterion : multibox
+  pos_iou : 0.5
+  neg_iou : 0.5
+""")
+    main.write_text(f"""
+dataset : VOC
+model : SSD300
+VOC : {voc}
+COCO : {voc}
+amp : False
+ddp_enabled : False
+savename : ssd_test
+""")
+    r = _run([os.path.join("scripts", "train.py"), "--config", str(main),
+              "--synthetic", "--steps", "2", "--log-every", "1",
+              "--checkpoint-dir", str(tmp_path / "ckpt")])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "training done" in r.stdout
