@@ -51,11 +51,15 @@ def build_pipeline(mode: str, hw, batch_size: int):
     # make_eval_forward_int8 helpers dispatch on the model class);
     # PODT_BENCH_CLASSES=80 benches the COCO head (pred pad 96, not 32)
     from pytorch_object_detection_tpu.models.retinanet import RetinaNet
+    from pytorch_object_detection_tpu.models.ssd import SSD300
 
     cls = {"hisfcos": HISFCOS, "fcos": FCOS, "mnfcos": MNFCOS,
-           "retinanet": RetinaNet}[
+           "retinanet": RetinaNet, "ssd300": SSD300}[
         os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()]
     kw = {"num_classes": int(os.environ.get("PODT_BENCH_CLASSES", "20"))}
+    if cls is SSD300:
+        kw["num_classes"] += 1  # background class (registry convention)
+        hw = (300, 300)  # SSD300 is defined at exactly 300x300
     if os.environ.get("PODT_BENCH_BACKBONE"):  # e.g. efficientnet-b0 (FCOS)
         kw["backbone"] = os.environ["PODT_BENCH_BACKBONE"]
     model = cls(**kw)
@@ -69,29 +73,45 @@ def build_pipeline(mode: str, hw, batch_size: int):
     strides = [8, 16, 32, 64, 128]
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch_size, *hw, 3), jnp.float32)
 
-    if isinstance(model, RetinaNet):
+    if isinstance(model, (RetinaNet, SSD300)):
         # anchor family: decode is the anchor codec; int8 is the
-        # models/retinanet_int8.py ladder (normalized float input — no
+        # models/{retinanet,ssd}_int8.py ladder (normalized float input — no
         # u8-stem fold on this path yet)
+        from pytorch_object_detection_tpu.models.ssd import default_boxes
         from pytorch_object_detection_tpu.ops.anchors import (
             decode_anchor_detections,
             generate_anchors,
         )
 
-        anchors = generate_anchors(model.level_shapes(hw), strides)
+        if isinstance(model, SSD300):
+            anchors, act = default_boxes(hw[0]), "softmax_bg0"
+        else:
+            anchors, act = generate_anchors(model.level_shapes(hw), strides), "sigmoid"
         backend = "xla" if jax.devices()[0].platform == "cpu" else "pallas_block"
         if mode == "int8":
-            from pytorch_object_detection_tpu.models.retinanet_int8 import (
-                quantize_retinanet,
-                retinanet_int8_forward,
-            )
+            if isinstance(model, SSD300):
+                from pytorch_object_detection_tpu.models.ssd_int8 import (
+                    quantize_ssd300,
+                    ssd300_int8_forward,
+                )
 
-            qtree = quantize_retinanet(model, variables, images[:8], backend=backend)
+                qtree = quantize_ssd300(model, variables, images[:8])
+                int8_fwd = lambda qt, im: ssd300_int8_forward(model, qt, im)
+            else:
+                from pytorch_object_detection_tpu.models.retinanet_int8 import (
+                    quantize_retinanet,
+                    retinanet_int8_forward,
+                )
+
+                qtree = quantize_retinanet(model, variables, images[:8],
+                                           backend=backend)
+                int8_fwd = lambda qt, im: retinanet_int8_forward(
+                    model, qt, im, backend=backend)
 
             def eval_pipeline(qtree, anchors, images):
-                loc, cl = retinanet_int8_forward(model, qtree, images, backend=backend)
+                loc, cl = int8_fwd(qtree, images)
                 det = decode_anchor_detections(
-                    anchors, loc, cl, "sigmoid", 0.05, 0.5, 1000, hw)
+                    anchors, loc, cl, act, 0.05, 0.5, 1000, hw)
                 return det.scores.sum() + det.valid.sum()
 
             jp = jax.jit(eval_pipeline)
@@ -106,7 +126,7 @@ def build_pipeline(mode: str, hw, batch_size: int):
             loc, cl = model.apply(v, images.astype(jnp.bfloat16), False)
             det = decode_anchor_detections(
                 anchors, loc.astype(jnp.float32), cl.astype(jnp.float32),
-                "sigmoid", 0.05, 0.5, 1000, hw)
+                act, 0.05, 0.5, 1000, hw)
             return det.scores.sum() + det.valid.sum()
 
         jp = jax.jit(eval_pipeline)
@@ -197,6 +217,8 @@ def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "128")), iters
     mode = os.environ.get("PODT_BENCH_MODE", "int8")
     if os.environ.get("PODT_BENCH_HW"):  # e.g. "896x1408" (COCO canvas)
         hw = tuple(int(v) for v in os.environ["PODT_BENCH_HW"].split("x"))
+    if os.environ.get("PODT_BENCH_MODEL", "").lower() == "ssd300":
+        hw = (300, 300)  # SSD300's fixed canvas (build_pipeline pins it too)
     try:
         run, _ = build_pipeline(mode, hw, batch_size)
         float(run())  # compile + warm

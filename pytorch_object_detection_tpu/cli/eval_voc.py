@@ -58,9 +58,6 @@ def main():
     strides = C.strides(cfg) if "stride" in block else (8, 16, 32, 64, 128)
     pipeline = None
     if args.int8:
-        assert cfg["model"]["name"] != "SSD300", (
-            "--int8 covers the ResNet-50 families (FCOS-family + RetinaNet); "
-            "SSD300 (VGG backbone) evaluates on the bf16 path")
         import jax.numpy as jnp
         import numpy as np
 
@@ -79,7 +76,7 @@ def main():
             calib_ds, min(args.batch_size, 8), shuffle=False, drop_last=False, num_workers=2)))
         calib = (jnp.asarray(calib_batch.images, jnp.float32) / 255.0
                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        if cfg["model"]["name"] == "RETINANET":
+        if cfg["model"]["name"] in ("RETINANET", "SSD300"):
             from pytorch_object_detection_tpu.eval.evaluator import (
                 make_eval_pipeline_anchor_int8,
             )

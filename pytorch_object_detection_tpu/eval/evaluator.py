@@ -148,35 +148,52 @@ def make_eval_pipeline_anchor_int8(
     std=None,
     backend: str = "pallas_block",
 ):
-    """int8-PTQ serving pipeline for RetinaNet (anchor family's counterpart
-    of :func:`make_eval_pipeline_int8`): int8 ResNet-50 -> BN-folded int8
-    RetinaFPN -> int8 subnets -> anchor decode, one jitted program.
+    """int8-PTQ serving pipeline for the anchor family (counterpart of
+    :func:`make_eval_pipeline_int8`): RetinaNet runs int8 ResNet-50 ->
+    BN-folded int8 RetinaFPN -> int8 subnets (models/retinanet_int8.py);
+    SSD300 runs the full int8 VGG-16 multibox ladder (models/ssd_int8.py).
+    Anchor decode rides the same jitted program.
 
-    ``calib_images``: representative NORMALIZED batch.  (SSD300 is VGG-based
-    and stays on the bf16 path.)
+    ``calib_images``: representative NORMALIZED batch.
     """
     from pytorch_object_detection_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     from pytorch_object_detection_tpu.models.retinanet import RetinaNet
-    from pytorch_object_detection_tpu.models.retinanet_int8 import (
-        quantize_retinanet,
-        retinanet_int8_forward,
-    )
+    from pytorch_object_detection_tpu.models.ssd import SSD300, default_boxes
     from pytorch_object_detection_tpu.ops.anchors import (
         decode_anchor_detections,
         generate_anchors,
     )
 
-    assert isinstance(model, RetinaNet), "int8 anchor ladder covers RetinaNet"
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
-    qtree = quantize_retinanet(model, variables, calib_images, backend=backend)
-    anchors = generate_anchors(model.level_shapes(canvas_hw), (8, 16, 32, 64, 128))
+    if isinstance(model, SSD300):
+        from pytorch_object_detection_tpu.models.ssd_int8 import (
+            quantize_ssd300,
+            ssd300_int8_forward,
+        )
+
+        qtree = quantize_ssd300(model, variables, calib_images)
+        anchors = default_boxes(canvas_hw[0])
+        activation = "softmax_bg0"
+        fwd = lambda qt, x: ssd300_int8_forward(model, qt, x)
+    else:
+        from pytorch_object_detection_tpu.models.retinanet_int8 import (
+            quantize_retinanet,
+            retinanet_int8_forward,
+        )
+
+        assert isinstance(model, RetinaNet), "unknown anchor family"
+        qtree = quantize_retinanet(model, variables, calib_images, backend=backend)
+        anchors = generate_anchors(
+            model.level_shapes(canvas_hw), (8, 16, 32, 64, 128))
+        activation = "sigmoid"
+        fwd = lambda qt, x: retinanet_int8_forward(model, qt, x, backend=backend)
 
     def body(qtree, anchors, params, batch_stats, images_u8):
         x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
-        loc, cls = retinanet_int8_forward(model, qtree, x, backend=backend)
+        loc, cls = fwd(qtree, x)
         return decode_anchor_detections(
-            anchors, loc, cls, "sigmoid", score_threshold, nms_iou,
+            anchors, loc, cls, activation, score_threshold, nms_iou,
             max_detections, canvas_hw,
         )
 
