@@ -172,6 +172,9 @@ def make_eval_pipeline_anchor_int8(
             ssd300_int8_forward,
         )
 
+        assert canvas_hw[0] == canvas_hw[1] == 300, (
+            f"SSD300 is defined at 300x300 (config block: input [300,300], "
+            f"canvas_align 1); got {canvas_hw}")
         qtree = quantize_ssd300(model, variables, calib_images)
         anchors = default_boxes(canvas_hw[0])
         activation = "softmax_bg0"
@@ -304,27 +307,44 @@ def make_eval_pipeline_int8(
         quantize_head,
     )
 
+    from pytorch_object_detection_tpu.models.mcfcos import MC_FCOS
+
     backbone = getattr(model, "backbone", "resnet50")
-    int8_fpn = (int8_fpn and isinstance(model, (HISFCOS, FCOS))
-                and (backbone == "resnet50"
-                     or backbone.startswith("efficientnet")))
-    int8_head = int8_head and int8_fpn
     mean = jnp.asarray(mean if mean is not None else IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(std if std is not None else IMAGENET_STD, jnp.float32)
-    # u8 serving input: the normalize affine is folded into the exact s2d
-    # stem kernel, so the float normalize pass disappears entirely
-    # (ResNet-only; the EfficientNet ladder takes normalized floats)
-    u8_input = int8_fpn and backbone == "resnet50"
-    qtree = quantize_backbone(model, variables, calib_images, mean=mean, std=std)
-    if int8_fpn:
-        qfpn = quantize_fpn(model, variables, qtree, calib_images)
-        if int8_head:
-            qhead = quantize_head(model, variables, qtree, qfpn, calib_images)
-            qtree = {"backbone": qtree, "fpn": qfpn, "head": qhead}
-        else:
-            qtree = {"backbone": qtree, "fpn": qfpn}
-    fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn,
-                                 int8_head=int8_head, u8_input=u8_input)
+    if isinstance(model, MC_FCOS):
+        # MC_FCOS: one-shot full-detector ladder (models/mcfcos_int8.py);
+        # raw-u8 serving via the shared s2d stem fold
+        from pytorch_object_detection_tpu.models.mcfcos_int8 import (
+            mcfcos_int8_forward,
+            quantize_mcfcos,
+        )
+
+        u8_input = True
+        mc_backend = "xla" if jax.devices()[0].platform == "cpu" else backend
+        qtree = quantize_mcfcos(model, variables, calib_images,
+                                backend=mc_backend, mean=mean, std=std)
+        fwd = lambda qt, p, bs, x: mcfcos_int8_forward(
+            model, qt, x, backend=mc_backend, u8_stem=True)
+    else:
+        int8_fpn = (int8_fpn and isinstance(model, (HISFCOS, FCOS))
+                    and (backbone == "resnet50"
+                         or backbone.startswith("efficientnet")))
+        int8_head = int8_head and int8_fpn
+        # u8 serving input: the normalize affine is folded into the exact
+        # s2d stem kernel, so the float normalize pass disappears entirely
+        # (ResNet-only; the EfficientNet ladder takes normalized floats)
+        u8_input = int8_fpn and backbone == "resnet50"
+        qtree = quantize_backbone(model, variables, calib_images, mean=mean, std=std)
+        if int8_fpn:
+            qfpn = quantize_fpn(model, variables, qtree, calib_images)
+            if int8_head:
+                qhead = quantize_head(model, variables, qtree, qfpn, calib_images)
+                qtree = {"backbone": qtree, "fpn": qfpn, "head": qhead}
+            else:
+                qtree = {"backbone": qtree, "fpn": qfpn}
+        fwd = make_eval_forward_int8(model, backend=backend, int8_fpn=int8_fpn,
+                                     int8_head=int8_head, u8_input=u8_input)
 
     def body(qtree, params, batch_stats, images_u8):
         if u8_input:

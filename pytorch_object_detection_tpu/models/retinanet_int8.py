@@ -243,7 +243,7 @@ def quantize_retinanet(model, variables, calib_images, backend: str = "xla"):
     feats = tuple(f.astype(jnp.float32) * s for f, s in zip(feats_q, feat_scales))
     taps = jax.jit(calibrate_retinafpn)(
         variables["params"]["fpn"], variables["batch_stats"]["fpn"], feats)
-    taps = {k: float(v) for k, v in taps.items()}
+    taps = {k: float(v) for k, v in jax.device_get(taps).items()}
     q_fpn = jax.jit(quantize_retinafpn)(
         variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps,
         feat_scales)
@@ -252,7 +252,7 @@ def quantize_retinanet(model, variables, calib_images, backend: str = "xla"):
         lambda fq: retinafpn_int8_forward(q_fpn, fq, dequant=False))(feats_q)
     levels = tuple(l.astype(jnp.float32) * s for l, s in zip(levels_q, level_scales))
     htaps = jax.jit(calibrate_retinahead)(variables["params"], levels)
-    htaps = {k: float(v) for k, v in htaps.items()}
+    htaps = {k: float(v) for k, v in jax.device_get(htaps).items()}
     q_head = quantize_retinahead(variables["params"], htaps, level_scales)
     return {"backbone": q_bb, "fpn": q_fpn, "head": q_head}
 

@@ -140,7 +140,7 @@ def quantize_ssd300(model, variables, calib_images) -> Dict:
     """
     p = variables["params"]
     taps = jax.jit(calibrate_ssd)(p, calib_images)
-    taps = {k: float(v) for k, v in taps.items()}
+    taps = {k: float(v) for k, v in jax.device_get(taps).items()}
     s = {k: act_scale(v) for k, v in taps.items()}
 
     def blk(kp, s_in, s_out, out_f32: bool = False):

@@ -397,7 +397,7 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
         )
 
         taps = jax.jit(calibrate_efficientnet)(bb_vars, calib_images)
-        taps = {k: float(v) for k, v in taps.items()}
+        taps = {k: float(v) for k, v in jax.device_get(taps).items()}
         return quantize_efficientnet(bb_vars, taps)
     from pytorch_object_detection_tpu.nn.resnet_int8 import (
         calibrate_resnet50,
@@ -409,7 +409,7 @@ def quantize_backbone(model, variables, calib_images, compute_dtype=jnp.bfloat16
     taps = jax.jit(functools.partial(calibrate_resnet50, compute_dtype=compute_dtype))(
         bb_vars, calib_images
     )
-    taps = {k: float(v) for k, v in taps.items()}
+    taps = {k: float(v) for k, v in jax.device_get(taps).items()}
     return jax.jit(functools.partial(quantize_resnet50))(bb_vars, taps, mean, std)
 
 
@@ -458,7 +458,7 @@ def quantize_fpn(model, variables, qtree_bb, calib_images,
         taps = jax.jit(calibrate_hisfpn)(
             variables["params"]["fpn"], variables["batch_stats"]["fpn"], feats
         )
-        taps = {k: float(v) for k, v in taps.items()}
+        taps = {k: float(v) for k, v in jax.device_get(taps).items()}
         return jax.jit(quantize_hisfpn)(
             variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps, scales
         )
@@ -473,7 +473,7 @@ def quantize_fpn(model, variables, qtree_bb, calib_images,
         taps = jax.jit(calibrate_lwfpn)(
             variables["params"]["fpn"], variables["batch_stats"]["fpn"], feats
         )
-        taps = {k: float(v) for k, v in taps.items()}
+        taps = {k: float(v) for k, v in jax.device_get(taps).items()}
         return jax.jit(quantize_lwfpn)(
             variables["params"]["fpn"], variables["batch_stats"]["fpn"], taps, scales
         )
@@ -483,7 +483,7 @@ def quantize_fpn(model, variables, qtree_bb, calib_images,
     )
 
     taps = jax.jit(calibrate_fpn_classic)(variables["params"]["fpn"], feats)
-    taps = {k: float(v) for k, v in taps.items()}
+    taps = {k: float(v) for k, v in jax.device_get(taps).items()}
     return jax.jit(quantize_fpn_classic)(
         variables["params"]["fpn"], taps, scales
     )
@@ -529,7 +529,7 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
         )
 
         taps = jax.jit(calibrate_hishead)(variables["params"]["head"], levels)
-        taps = {k: float(v) for k, v in taps.items()}
+        taps = {k: float(v) for k, v in jax.device_get(taps).items()}
         return quantize_hishead(variables["params"]["head"], taps, level_scales,
                                 model.num_classes)
     if is_mn:
@@ -541,7 +541,7 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
         taps = jax.jit(calibrate_mnhead)(
             variables["params"]["head"], variables["batch_stats"]["head"], levels
         )
-        taps = {k: float(v) for k, v in taps.items()}
+        taps = {k: float(v) for k, v in jax.device_get(taps).items()}
         return quantize_mnhead(
             variables["params"]["head"], variables["batch_stats"]["head"],
             taps, level_scales, model.num_classes,
@@ -552,7 +552,7 @@ def quantize_head(model, variables, qtree_bb, qtree_fpn, calib_images,
     )
 
     taps = jax.jit(calibrate_fcoshead)(variables["params"]["head"], levels)
-    taps = {k: float(v) for k, v in taps.items()}
+    taps = {k: float(v) for k, v in jax.device_get(taps).items()}
     return quantize_fcoshead(variables["params"]["head"], taps, level_scales,
                              model.num_classes)
 
