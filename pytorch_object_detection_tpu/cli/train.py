@@ -156,7 +156,12 @@ def main():
     batch_size = int(block["batch_size"])
     compute_dtype = jnp.bfloat16 if cfg["model"].get("amp", True) else jnp.float32
 
-    model = build_model(name, n_classes, int(block["channel"]))
+    # reference trains HISFCOS with stage 1 frozen (HISFcos.py:57-68);
+    # frozen_stages both masks the optimizer (create_train_state) and adds
+    # the gradient barrier in the backbone so the dead backward is skipped
+    frozen_stages = 1 if name == "HISFCOS" else 0
+    model = build_model(name, n_classes, int(block["channel"]),
+                        frozen_stages=frozen_stages)
     rng = jax.random.PRNGKey(0)
     sched = block.get("schedule", {})  # optional: warmup_steps/warmup_factor/milestones/gamma
     state = create_train_state(
@@ -176,7 +181,7 @@ def main():
             "swa_start_step": args.swa_start_step,
         },
         freeze_bn=True,
-        frozen_stages=1 if name == "HISFCOS" else 0,
+        frozen_stages=frozen_stages,
     )
     if args.pretrained_backbone:
         state = ckpt.load_pretrained_backbone(state, args.pretrained_backbone)

@@ -33,6 +33,10 @@ class FCOS(nn.Module):
     features: int = 256
     freeze_bn: bool = True
     backbone: str = "resnet50"  # or "efficientnet-b0"
+    # frozen backbone stages (reference freeze_stages): the optimizer mask
+    # lives in train/trainer.param_labels; this adds the matching gradient
+    # barrier so the frozen stages' backward is not computed at all
+    frozen_stages: int = 0
 
     @nn.compact
     def __call__(self, images, train: bool = False):
@@ -42,7 +46,8 @@ class FCOS(nn.Module):
 
             feats = EfficientNet.b0(name="backbone")(images, bn_train)[-3:]
         else:
-            feats = ResNet50(name="backbone")(images, bn_train)
+            feats = ResNet50(grad_barrier_stages=self.frozen_stages,
+                             name="backbone")(images, bn_train)
         levels = FPN(self.features, name="fpn")(feats, bn_train)
         return FCOSHead(self.num_classes, self.features, name="head")(levels)
 
@@ -58,11 +63,15 @@ class HISFCOS(nn.Module):
     features: int = 256
     freeze_bn: bool = True
     stem_mode: str = "conv7"
+    # reference HISFcos.py:57-68 freezes stage 1; barrier skips its backward
+    frozen_stages: int = 0
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         bn_train = train and not self.freeze_bn
-        feats = ResNet50(stem_mode=self.stem_mode, name="backbone")(images, bn_train)
+        feats = ResNet50(stem_mode=self.stem_mode,
+                         grad_barrier_stages=self.frozen_stages,
+                         name="backbone")(images, bn_train)
         levels = HisFPN(self.features, name="fpn")(feats, bn_train)
         return HISHead(self.num_classes, self.features, name="head")(levels)
 
@@ -71,11 +80,13 @@ class MNFCOS(nn.Module):
     num_classes: int = 20
     features: int = 256
     freeze_bn: bool = True
+    frozen_stages: int = 0
 
     @nn.compact
     def __call__(self, images, train: bool = False):
         bn_train = train and not self.freeze_bn
-        feats = ResNet50(name="backbone")(images, bn_train)
+        feats = ResNet50(grad_barrier_stages=self.frozen_stages,
+                         name="backbone")(images, bn_train)
         levels = LightweightFPN(self.features, name="fpn")(feats, bn_train)
         return MNHead(self.num_classes, self.features, name="head")(levels, bn_train)
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 from flax import linen as nn
 
 from pytorch_object_detection_tpu.nn.layers import BatchNorm, Conv, relu
@@ -83,6 +84,12 @@ class ResNet50(nn.Module):
     stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
     stage_widths: Tuple[int, ...] = (64, 128, 256, 512)
     stem_mode: str = "conv7"
+    # gradient barrier after layer<k>: with stem+layer1..k frozen (reference
+    # freeze_stages, resnet50.py:55-65, optimizer-masked in train/trainer.
+    # param_labels), their backward pass is pure waste — stop_gradient at
+    # the boundary removes it.  Identical gradients for every trainable
+    # param; a no-op outside autodiff.
+    grad_barrier_stages: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,6 +110,8 @@ class ResNet50(nn.Module):
             for block in range(blocks):
                 stride = 2 if (block == 0 and stage > 0) else 1
                 x = Bottleneck(width, stride, name=f"layer{stage + 1}_{block}")(x, train)
+            if stage + 1 == self.grad_barrier_stages:
+                x = jax.lax.stop_gradient(x)
             outputs.append(x)
 
         # outputs = [C2(/4, 256), C3(/8, 512), C4(/16, 1024), C5(/32, 2048)]

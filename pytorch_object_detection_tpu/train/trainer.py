@@ -233,6 +233,42 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_scan(
+    model,
+    level_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    limit_ranges: Sequence[Tuple[float, float]],
+    reg_mode: str = "giou",
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    bn_train: bool = False,
+    remat: bool = False,
+    cnt_mode: str = "bce",
+):
+    """K train steps per dispatch: ``(state, images[K,B,...], boxes[K,B,M,4],
+    labels[K,B,M]) -> (state, metrics[K])`` via ``lax.scan``.
+
+    Numerically identical to K calls of :func:`make_train_step`'s fn; the
+    point is wall-clock: every host->device dispatch of the single-step
+    program pays the dispatch/tunnel latency (PERF.md r3: 32.2 ms wall vs
+    29.4 ms device at B=16 — ~9%), and scanning K steps inside one program
+    pays it once per K.  The reference has no analogue (its Python loop
+    pays per-step launch + sync, train_new.py:181-245).
+    """
+    single = make_train_step(
+        model, level_shapes, strides, limit_ranges, reg_mode, compute_dtype,
+        bn_train, donate=False, remat=remat, cnt_mode=cnt_mode,
+    ).__wrapped__  # the traced body; scan needs it inline, un-jitted
+
+    def steps_fn(state: TrainState, images, boxes, labels):
+        def body(carry, batch):
+            new_state, metrics = single(carry, *batch)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (images, boxes, labels))
+
+    return jax.jit(steps_fn, donate_argnums=(0,))
+
+
 def make_shard_map_train_step(
     model,
     level_shapes: Sequence[Tuple[int, int]],

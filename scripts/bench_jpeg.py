@@ -96,6 +96,9 @@ def decode_rate_curve(blobs):
 
     sample = blobs[:256]
     rates = {}
+    # full-size warm pass: the [256,512,512,3] output allocation page-faults
+    # ~200 MB on first touch, which otherwise lands in the first timing
+    jpeg_decode_batch_native(sample, TILE, n_threads=4)
     for nt in (1, 2, 4):
         jpeg_decode_batch_native(sample[:16], TILE, n_threads=nt)  # warm
         t0 = time.perf_counter()

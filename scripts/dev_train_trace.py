@@ -35,7 +35,10 @@ def build(batch: int, remat: bool):
         make_train_step,
     )
 
-    model = HISFCOS(num_classes=20)
+    # PODT_TRAIN_FROZEN=1: the reference training configuration (stage 1
+    # frozen) with the r4 gradient barrier — frozen stages skip backward
+    frozen = int(os.environ.get("PODT_TRAIN_FROZEN", "0"))
+    model = HISFCOS(num_classes=20, frozen_stages=frozen)
     shapes = [(HW[0] // s, HW[1] // s) for s in STRIDES]
     state = create_train_state(model, jax.random.PRNGKey(0), (1, *HW, 3),
                                {"lr": 1e-2, "momentum": 0.9})
@@ -76,7 +79,10 @@ def run_parts(batch: int, iters: int = 20):
         make_train_step,
     )
 
-    model = HISFCOS(num_classes=20)
+    # PODT_TRAIN_FROZEN=1: the reference training configuration (stage 1
+    # frozen) with the r4 gradient barrier — frozen stages skip backward
+    frozen = int(os.environ.get("PODT_TRAIN_FROZEN", "0"))
+    model = HISFCOS(num_classes=20, frozen_stages=frozen)
     shapes = [(HW[0] // s, HW[1] // s) for s in STRIDES]
     state = create_train_state(model, jax.random.PRNGKey(0), (1, *HW, 3),
                                {"lr": 1e-2, "momentum": 0.9})

@@ -213,3 +213,57 @@ def test_shard_map_step_syncbn_averages_stats():
     arrs = [np.asarray(s.data) for s in leaf.addressable_shards]
     for a in arrs[1:]:
         np.testing.assert_array_equal(arrs[0], a)
+
+
+def test_scan_step_equals_k_single_steps():
+    """make_train_step_scan: K scanned steps == K sequential single steps
+    (same math; tolerances cover XLA fusion-order drift between the two
+    compilations) — PERF.md r4."""
+    from pytorch_object_detection_tpu.train.trainer import make_train_step_scan
+
+    model, state0 = _small_state()
+    single = make_train_step(model, SHAPES, STRIDES, RANGES, "giou",
+                             compute_dtype=jnp.float32, donate=False)
+    scan = make_train_step_scan(model, SHAPES, STRIDES, RANGES, "giou",
+                                compute_dtype=jnp.float32)
+    K = 2
+    batches = [synthetic_batch(jax.random.PRNGKey(10 + k), 2, HW, 5, max_boxes=8)
+               for k in range(K)]
+
+    s_ref = state0
+    ref_totals = []
+    for imgs, boxes, labels in batches:
+        s_ref, m = single(s_ref, imgs, boxes, labels)
+        ref_totals.append(float(m["total"]))
+
+    stk = lambda i: jnp.stack([b[i] for b in batches])
+    _, state0b = _small_state()  # fresh (scan donates its carry)
+    s_scan, metrics = scan(state0b, stk(0), stk(1), stk(2))
+    np.testing.assert_allclose(np.asarray(metrics["total"]), ref_totals, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+
+def test_grad_barrier_matches_reference_freeze():
+    """frozen_stages=1 with the gradient barrier: frozen grads are exactly
+    zero, trainable grads identical to the barrier-free model."""
+    model_a, state_a = _small_state()
+    model_b = HISFCOS(num_classes=5, features=64, frozen_stages=1)
+    state_b = create_train_state(
+        model_b, jax.random.PRNGKey(0), (1, *HW, 3),
+        {"lr": 1e-2, "warmup_steps": 10}, freeze_bn=True, frozen_stages=1,
+    )
+    step_a = make_train_step(model_a, SHAPES, STRIDES, RANGES, "giou",
+                             compute_dtype=jnp.float32, donate=False)
+    step_b = make_train_step(model_b, SHAPES, STRIDES, RANGES, "giou",
+                             compute_dtype=jnp.float32, donate=False)
+    imgs, boxes, labels = synthetic_batch(jax.random.PRNGKey(1), 2, HW, 5, max_boxes=8)
+    sa, ma = step_a(state_a, imgs, boxes, labels)
+    sb, mb = step_b(state_b, imgs, boxes, labels)
+    np.testing.assert_allclose(float(ma["total"]), float(mb["total"]), rtol=1e-6)
+    # every post-step param equal: frozen leaves never move in either
+    # (optimizer mask), trainable leaves get identical gradients
+    for a, b in zip(jax.tree_util.tree_leaves(sa.params),
+                    jax.tree_util.tree_leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
