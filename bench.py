@@ -69,7 +69,23 @@ def _log(msg: str) -> None:
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: warm bench runs skip compiles."""
+    """Persistent XLA compilation cache — opt-in (PODT_BENCH_XLA_CACHE=1),
+    default OFF.
+
+    Measured on this box (r4): jax 0.9 + the axon plugin DROP custom array
+    layouts on executables/transfers touched by the disk cache — both
+    ``device_put(x, Format(...))`` and ``jit(identity, out_shardings=
+    Format(...))`` return the default tiled layout (0,1,2,4,3) instead of
+    the pinned row-major (0,1,2,3,4) once cache entries exist, even when
+    the cache dir is switched off around the call (lookups appear to ride
+    config captured earlier), which silently breaks the pinned-layout
+    serving programs.  Meanwhile the big eval-program compiles showed NO
+    disk-cache benefit (bf16 pipeline: 50 s cold vs 66 s "warm").  The
+    warm-run startup win comes from the STATE cache (calibration pkl:
+    280 s -> 1.7 s), so the XLA disk cache is all risk and no reward here.
+    """
+    if os.environ.get("PODT_BENCH_XLA_CACHE") != "1":
+        return
     try:
         CACHE_DIR.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR / "xla"))
@@ -83,15 +99,9 @@ _enable_compile_cache()
 
 
 class _no_compile_cache:
-    """Window with the persistent compilation cache OFF.
-
-    jax 0.9 + the axon plugin DROP custom array layouts on executables
-    loaded from the disk cache (verified: both ``device_put(x, Format(...))``
-    and ``jit(identity, out_shardings=Format(...))`` return the default
-    tiled layout (0,1,2,4,3) on a disk-cache hit vs the pinned row-major
-    (0,1,2,3,4) when compiled fresh).  Layout-pinned programs must
-    therefore compile inside this window.
-    """
+    """Window with the persistent compilation cache OFF (see
+    _enable_compile_cache — layout-pinned programs must never touch the
+    disk cache; a no-op in the default cache-off configuration)."""
 
     def __enter__(self):
         self._prev = jax.config.jax_compilation_cache_dir
@@ -404,6 +414,16 @@ def build_pipeline(mode: str, hw, batch_size: int):
                     fmt = Format(Layout(major_to_minor=(0, 1, 2, 3, 4)),
                                  SingleDeviceSharding(jax.devices()[0]))
                     pinned = jax.device_put(images, fmt)
+                    if tuple(pinned.format.layout.major_to_minor) != (
+                            0, 1, 2, 3, 4):
+                        # in-process relayout cache can still hand back the
+                        # default tiled layout; the host-transfer route takes
+                        # a different path and honors the pin
+                        _log("device relayout ignored the pin; host route")
+                        import numpy as _np
+
+                        pinned = jax.device_put(
+                            _np.asarray(jax.device_get(images)), fmt)
                     assert tuple(pinned.format.layout.major_to_minor) == (
                         0, 1, 2, 3, 4), pinned.format
                     jp = jax.jit(eval_pipeline,

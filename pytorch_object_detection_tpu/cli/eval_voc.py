@@ -34,6 +34,11 @@ def main():
                          "into fixed uint8 tiles; the aspect-preserving "
                          "resize runs batched ON DEVICE inside the eval "
                          "program (data/pipeline.make_device_resize)")
+    ap.add_argument("--ref-4stride", action="store_true",
+                    help="eval-compat mode: decode only the first 4 pyramid "
+                         "levels, reproducing the reference's silent zip-"
+                         "truncation (test.py:176 passes strides=[8,16,32,"
+                         "64] for a 5-level model); quantifies that delta")
     args = ap.parse_args()
 
     from pytorch_object_detection_tpu.core import config as C
@@ -56,6 +61,10 @@ def main():
                          raw_tiles=args.device_resize)
     eval_cfg = block.get("eval", {})  # optional overrides of the reference defaults
     strides = C.strides(cfg) if "stride" in block else (8, 16, 32, 64, 128)
+    if args.ref_4stride:
+        assert cfg["model"]["name"] not in ("RETINANET", "SSD300"), (
+            "--ref-4stride is a FCOS-family eval-compat mode")
+        strides = tuple(strides)[:4]
     pipeline = None
     if args.int8:
         import jax.numpy as jnp
@@ -92,7 +101,7 @@ def main():
         else:
             pipeline = make_eval_pipeline_int8(
                 model, {"params": state.params, "batch_stats": state.batch_stats},
-                calib, C.strides(cfg), canvas,
+                calib, strides, canvas,
                 score_threshold=float(eval_cfg.get("score_threshold", 0.05)),
                 nms_iou=float(eval_cfg.get("nms_iou", 0.6)),
                 max_detections=int(eval_cfg.get("max_detections", 1000)),

@@ -62,8 +62,13 @@ def make_eval_pipeline(
     def body(params, batch_stats, images_u8):
         x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
         cls_l, cnt_l, reg_l = fwd(params, batch_stats, x)
+        # decode exactly len(strides) levels: passing 4 strides reproduces
+        # the reference's silent zip-truncation (test.py:176 decodes 4 of 5
+        # pyramid levels — SURVEY §2.7) as an explicit eval-compat mode
+        k = len(strides)
         return decode_detections(
-            cls_l, cnt_l, reg_l, strides, score_threshold, nms_iou, max_detections, canvas_hw
+            cls_l[:k], cnt_l[:k], reg_l[:k], strides, score_threshold,
+            nms_iou, max_detections, canvas_hw
         )
 
     if device_resize:
@@ -352,9 +357,10 @@ def make_eval_pipeline_int8(
         else:
             x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
         cls_l, cnt_l, reg_l = fwd(qtree, params, batch_stats, x)
+        k = len(strides)  # 4-stride eval-compat mode (see make_eval_pipeline)
         return decode_detections(
-            cls_l, cnt_l, reg_l, strides, score_threshold, nms_iou,
-            max_detections, canvas_hw, nms_impl=nms_impl,
+            cls_l[:k], cnt_l[:k], reg_l[:k], strides, score_threshold,
+            nms_iou, max_detections, canvas_hw, nms_impl=nms_impl,
         )
 
     if device_resize:

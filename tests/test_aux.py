@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pytorch_object_detection_tpu.nn.deform import DeformableConv, deform_sample
 from pytorch_object_detection_tpu.ops.losses import fcos_loss
@@ -77,6 +78,7 @@ def test_step_timer_and_memory_stats():
     assert stats is None or "bytes_in_use" in stats
 
 
+@pytest.mark.slow
 def test_gradcam_shapes():
     from pytorch_object_detection_tpu.models.fcos import FCOS, HISFCOS
     from pytorch_object_detection_tpu.utils.gradcam import gradcam_fcos
@@ -90,6 +92,7 @@ def test_gradcam_shapes():
         assert 0.0 <= cam.min() and cam.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_export_eval_pipeline_roundtrip(tmp_path):
     """Serialize the full detection pipeline and run the deserialized blob."""
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
@@ -123,6 +126,7 @@ def test_export_eval_pipeline_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(live.valid))
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_baseline():
     from pytorch_object_detection_tpu.data.synthetic import synthetic_batch
     from pytorch_object_detection_tpu.models.fcos import HISFCOS
@@ -148,6 +152,7 @@ def test_remat_train_step_matches_baseline():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_export_int8_serving_roundtrip(tmp_path):
     """The FULL int8 serving pipeline (u8 input, quantized weights baked)
     serializes and the deserialized artifact matches the live pipeline."""
