@@ -338,16 +338,30 @@ def qbottleneck_s2(x, w1, w2, w3, wd, a1, b1, a2, b2, a3, b3, ad, bd, *,
     )(x, w1, w2, w3, wd, scales)
 
 
-def _pick_qb_bands(h, row_bytes, budget=40 * 2**20):
-    """Smallest band count whose double-buffered in+out row windows fit
-    the budget (row_bytes = W*(Cin+Cout)*2).  1 at the 512^2 shapes; >1 at
-    the COCO canvas where whole-image residency measured +42%/block
-    (dev_qblock_coco.py)."""
+def _pick_qb_bands(h, row_bytes, budget=int(9.5 * 2**20), min_band=28):
+    """Band count: shrink the double-buffered in+out row windows toward
+    the budget (row_bytes = W*(Cin+Cout)*2) but never below ``min_band``
+    rows.  1 at the 512^2 shapes; >1 at the COCO canvas where whole-image
+    residency measured +42%/block (dev_qblock_coco.py).
+
+    Retuned in r4 from the COCO sweep (scripts/dev_qb_coco_r4.py,
+    trace-timed custom-call times, dedupe-trap-corrected): smaller windows
+    double-buffer earlier — the r3 stem finding transfers —
+      * 112x176x512 (layer2): whole 2.21 ms -> nb=4 (10 MB) 1.74
+      * 56x88x1024 (layer3):  whole 2.27/2 -> nb=2 1.12
+      * 28x44x2048 (layer4):  whole 1.89 -> nb=2 (14-row bands) 1.44
+    while the stage-1 merged shape's plateau stays at 28-row bands
+    (nb=4, r3 A/B: 2.72 vs 2.87 at 14 rows) — hence the 28-row floor,
+    with sub-floor bands only when the whole image exceeds the budget
+    (layer4's 10.1 MB whole -> 14-row bands).  512^2 shapes all fit the
+    budget whole and are unchanged."""
     for nb in range(1, h + 1):
         if h % nb:
             continue
         band = h // nb
-        if band * row_bytes <= budget or band == 1:
+        # stop at the budget, or at the 28-row floor — but a whole image
+        # OVER budget keeps banding (layer4's h=28 whole -> 14-row bands)
+        if band * row_bytes <= budget or (band <= min_band and band < h):
             return nb
     return 1
 
@@ -389,6 +403,12 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
                              if band_h % rc == 0)
         else:
             row_chunk = 16
+        # r4 COCO sweep: wide-channel whole-image kernels where the /32
+        # level height forces rc=14 (28x44x2048 layer-4) run 3.77 ms at
+        # rc=14 vs 1.46 at rc=7 — halve the chunk there.  512^2 (h=16,
+        # rc=16) and every banded config are untouched.
+        if bands == 1 and cin >= 2048 and min(row_chunk, h) == 14:
+            row_chunk = 7
     row_chunk = min(row_chunk, band_h)
     while band_h % row_chunk:  # non-pow2 canvases (COCO 896x1408)
         row_chunk //= 2

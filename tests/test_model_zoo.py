@@ -115,7 +115,10 @@ def test_registry_includes_zoo():
     from pytorch_object_detection_tpu.models.registry import available_models, build_model
 
     assert {"FCOS", "HISFCOS", "MNFCOS", "MC_FCOS", "RETINANET", "SSD300"} <= set(available_models())
-    m = build_model("SSD300", num_classes=21)
+    # registry convention: callers pass the dataset's FOREGROUND count and
+    # SSD300 gets its explicit background class added (reference ssd.py
+    # num_class=21 for VOC's 20 classes)
+    m = build_model("SSD300", num_classes=20)
     assert m.num_classes == 21
 
 

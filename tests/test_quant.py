@@ -5,6 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# compile-heavy int8 equality suite: slow by default; the cherry-picked
+# @pytest.mark.fast cases below keep one int8-kernel bit-exactness case,
+# the quant math, and the picker policies in the sub-10-min tier
+pytestmark = pytest.mark.slow
+
 from pytorch_object_detection_tpu.ops.quant import (
     act_scale,
     quantize_act,
@@ -12,6 +17,7 @@ from pytorch_object_detection_tpu.ops.quant import (
 )
 
 
+@pytest.mark.fast
 def test_weight_qparams_roundtrip():
     rng = np.random.RandomState(0)
     w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32))
@@ -23,6 +29,7 @@ def test_weight_qparams_roundtrip():
     assert float(jnp.max(err / scale)) <= 0.5 + 1e-3
 
 
+@pytest.mark.fast
 def test_quantize_act_clips_and_rounds():
     s = act_scale(10.0)  # scale for absmax 10
     x = jnp.array([-20.0, -10.0, 0.04, 10.0, 20.0])
@@ -55,6 +62,7 @@ def _ref_block(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, short):
     return rq(jnp.maximum(y, 0))
 
 
+@pytest.mark.fast
 def test_qbottleneck_interpret_exact_identity_and_projection():
     """Fused whole-block kernel bit-matches the per-op int8 reference."""
     from pytorch_object_detection_tpu.ops.pallas_qblock import qbottleneck
@@ -451,6 +459,7 @@ def test_hisfpn_pallas_matches_xla_oracle():
         assert (d > 0).mean() < 0.05, (i, (d > 0).mean())
 
 
+@pytest.mark.fast
 def test_pick_row_chunk():
     from pytorch_object_detection_tpu.ops.pallas_qhis import pick_row_chunk
 
@@ -463,6 +472,7 @@ def test_pick_row_chunk():
     assert pick_row_chunk(22, even=True) == 2
 
 
+@pytest.mark.fast
 def test_qstem_pick_bands():
     from pytorch_object_detection_tpu.ops.pallas_qstem import _pick_bands
 
@@ -987,6 +997,7 @@ def test_pallas_qmaxpool2x2_matches_reduce_window():
                                   np.asarray(ref))
 
 
+@pytest.mark.fast
 def test_qbottleneck_non_pow2_height():
     """COCO-canvas stage heights (56 = 112/2 merged) are not divisible by
     the default row_chunk=16; the kernel must shrink it instead of
@@ -1276,3 +1287,22 @@ def test_qmn_flag_routes_ladder_through_kernel(monkeypatch):
                      (reg_k[i], reg_x[i])]:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=0.05, atol=0.05)
+
+
+@pytest.mark.fast
+def test_pick_qb_bands_r4_policy():
+    """Band policy == the r4 COCO sweep optima (dev_qb_coco_r4.py) with
+    512^2 shapes unchanged (whole image)."""
+    from pytorch_object_detection_tpu.ops.pallas_qblock import _pick_qb_bands
+
+    rb = lambda w, cin, cout: w * (cin + cout) * 2
+    # 512^2: every backbone shape fits the budget whole
+    assert _pick_qb_bands(64, rb(64, 512, 512)) == 1    # layer2 @512
+    assert _pick_qb_bands(32, rb(32, 1024, 1024)) == 1  # layer3 @512
+    assert _pick_qb_bands(16, rb(16, 2048, 2048)) == 1  # layer4 @512
+    # COCO 896x1408: measured optima
+    assert _pick_qb_bands(112, rb(176, 512, 512)) == 4   # layer2: 28-row bands
+    assert _pick_qb_bands(56, rb(88, 1024, 1024)) == 2   # layer3: 28-row bands
+    assert _pick_qb_bands(28, rb(44, 2048, 2048)) == 2   # layer4: 14-row bands
+    # stage-1 merged plateau stays at 28-row bands (r3 A/B)
+    assert _pick_qb_bands(112, rb(352, 512, 512)) == 4
