@@ -8,6 +8,11 @@ here they ride the same config/CLI/evaluator surface as the FCOS family.
 from __future__ import annotations
 
 import os
+import pytest
+
+# compile-heavy (measured in PARITY.md); the fast tier covers this
+# subsystem through its cherry-picked/fast siblings
+pytestmark = pytest.mark.slow
 import subprocess
 import sys
 

@@ -7,6 +7,11 @@ constant-LR tail and saves the averaged params as <savename>_swa.
 from __future__ import annotations
 
 import os
+import pytest
+
+# compile-heavy (measured in PARITY.md); the fast tier covers this
+# subsystem through its cherry-picked/fast siblings
+pytestmark = pytest.mark.slow
 import subprocess
 import sys
 

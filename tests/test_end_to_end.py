@@ -1,6 +1,11 @@
 """End-to-end slice: fixture dataset -> loader -> train steps -> checkpoint ->
 restore -> batched eval harness. Small model + canvas, CPU mesh."""
 import os
+import pytest
+
+# compile-heavy (measured in PARITY.md); the fast tier covers this
+# subsystem through its cherry-picked/fast siblings
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +68,7 @@ def test_full_slice(tmp_path):
     assert len(result["per_class_ap"]) == 20
 
 
+@pytest.mark.fast
 def test_config_loading():
     cfg = load_config("config/main.yaml")
     assert cfg["model"]["name"] in ("FCOS", "HISFCOS", "MNFCOS")
@@ -91,6 +97,7 @@ def test_reference_config_compatibility():
         assert cfg["dataset_setting"]["class_num"] == 80
 
 
+@pytest.mark.fast
 def test_torch_state_dict_converter(tmp_path):
     """Converter maps a torch-layout resnet50 state_dict onto our pytree and
     the converted conv computes identically to torch's."""

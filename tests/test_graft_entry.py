@@ -1,9 +1,11 @@
 """Driver entry points stay working (runs on the 8-device CPU mesh)."""
 import sys
+import pytest
 
 sys.path.insert(0, "/root/repo")
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

@@ -193,6 +193,7 @@ def test_multibox_loss_orders_good_vs_bad():
     assert float(good["total"]) < float(bad["total"])
 
 
+@pytest.mark.slow
 def test_ssd_train_step_loss_decreases():
     """SSD MultiBox training path end-to-end (VERDICT r1 missing #5)."""
     from pytorch_object_detection_tpu.models.ssd import SSD300, default_boxes

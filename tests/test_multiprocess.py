@@ -25,6 +25,10 @@ import sys
 import numpy as np
 import pytest
 
+# compile-heavy (measured in PARITY.md); the fast tier covers this
+# subsystem through its cherry-picked/fast siblings
+pytestmark = pytest.mark.slow
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

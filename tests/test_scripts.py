@@ -57,6 +57,7 @@ prefetch_factor : 2
     return str(main)
 
 
+@pytest.mark.slow
 def test_train_then_eval_cli(tmp_path):
     from tests.test_data import _write_voc_fixture
 
@@ -91,6 +92,7 @@ def test_model_info_cli():
     assert "total params: 32,157,022" in r.stdout
 
 
+@pytest.mark.slow
 def test_bench_model_knobs(monkeypatch):
     """bench.build_pipeline constructs + runs for every PODT_BENCH_MODEL
     (and the EfficientNet backbone knob) — bf16 path, tiny canvas, CPU."""

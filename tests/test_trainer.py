@@ -1,4 +1,9 @@
 import jax
+import pytest
+
+# compile-heavy (measured in PARITY.md); the fast tier covers this
+# subsystem through its cherry-picked/fast siblings
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +36,7 @@ def _small_state(rng=0):
     return model, state
 
 
+@pytest.mark.fast
 def test_schedule_warmup_and_decay():
     s = warmup_step_decay(0.01, 500, 1 / 3, [120000, 160000], 0.1)
     np.testing.assert_allclose(float(s(0)), 0.01 / 3, rtol=1e-6)
@@ -40,6 +46,7 @@ def test_schedule_warmup_and_decay():
     np.testing.assert_allclose(float(s(170000)), 0.0001, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_poly_lr():
     s = poly_lr(0.01, 100, power=1.0)
     np.testing.assert_allclose(float(s(50)), 0.005, rtol=1e-6)
