@@ -12,6 +12,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_shapes():
     import jax
 

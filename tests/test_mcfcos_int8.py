@@ -15,7 +15,7 @@ def _cos(a, b):
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
 
 
-@pytest.mark.fast
+@pytest.mark.slow
 def test_mcfcos_int8_close_to_float():
     from pytorch_object_detection_tpu.models.mcfcos import MC_FCOS
     from pytorch_object_detection_tpu.models.mcfcos_int8 import (

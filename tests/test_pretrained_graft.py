@@ -70,7 +70,7 @@ def test_grafted_backbone_matches_live_torch(pth_path):
         )
 
 
-@pytest.mark.fast
+@pytest.mark.slow
 def test_pretrained_backbone_through_train_cli(pth_path, tmp_path):
     """`train.py --pretrained-backbone <genuine .pth>` runs end-to-end and
     the checkpointed backbone carries the grafted torch weights."""
