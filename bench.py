@@ -128,9 +128,12 @@ def _package_digest() -> str:
     return h.hexdigest()[:16]
 
 
-def _state_key(mode: str, hw, num_classes: int) -> str:
+def _state_key(mode: str, hw, num_classes: int, *, name: str | None = None,
+               knob_overrides: dict | None = None) -> str:
     # everything that changes the cached state; batch size / input form /
-    # iter count only shape the timed program, not params or calibration
+    # iter count only shape the timed program, not params or calibration.
+    # ``name``/``knob_overrides`` let other entry points (scripts/bench_jpeg)
+    # pin the inputs they hard-code instead of inheriting unrelated env.
     knobs = {
         k: v
         for k, v in sorted(os.environ.items())
@@ -141,9 +144,34 @@ def _state_key(mode: str, hw, num_classes: int) -> str:
             "PODT_BENCH_REFRESH", "PODT_BENCH_SOURCE",
         )
     }
+    if knob_overrides:
+        knobs.update(knob_overrides)
+    if name is None:
+        name = os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()
+    else:
+        knobs["PODT_BENCH_MODEL"] = name
     blob = json.dumps([mode, list(hw), num_classes, knobs, _package_digest()])
-    name = os.environ.get("PODT_BENCH_MODEL", "hisfcos").lower()
     return f"{name}_{mode}_{hashlib.sha256(blob.encode()).hexdigest()[:16]}"
+
+
+def int8_calib_images(hw):
+    """The int8 calibration sample every bench entry point shares.
+
+    Batch-size independent by construction (always drawn as a [128, H, W, 3]
+    uniform sample, first 8 taken, IMAGENET-normalized) so the cached state
+    under one ``_state_key`` is identical no matter which script — or which
+    PODT_BENCH_BATCH — built it first."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_object_detection_tpu.data.pipeline import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (128, *hw, 3),
+                                jnp.float32)
+    return (images[:8] - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
 def _cached_state(key: str, build):
@@ -325,7 +353,7 @@ def build_pipeline(mode: str, hw, batch_size: int):
         )
 
         backend = "xla" if jax.devices()[0].platform == "cpu" else "pallas_block"
-        calib = (images[:8] - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        calib = int8_calib_images(hw)
         qtree = _cached_state(
             skey,
             lambda: quantize_mcfcos(model, init_variables(), calib,
@@ -356,7 +384,8 @@ def build_pipeline(mode: str, hw, batch_size: int):
         int8_fpn = os.environ.get("PODT_INT8_FPN", "1") == "1"
         int8_head = int8_fpn and os.environ.get("PODT_INT8_HEAD", "1") == "1"
         # calibrate on the serving distribution: IMAGENET-normalized frames
-        calib = (images[:8] - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        # (shared helper — bench_jpeg must build the identical state)
+        calib = int8_calib_images(hw)
         state = _cached_state(
             skey,
             lambda: fcos_int8_state(model, hw, calib, int8_fpn, int8_head),
@@ -505,9 +534,14 @@ def main(batch_size: int = int(os.environ.get("PODT_BENCH_BATCH", "128")),
     print(
         json.dumps(
             {
-                "metric": f"{mdl}_e2e_eval_images_per_sec_{hw[0]}x{hw[1]}_{mode}"
+                # "device_eval": the full on-device eval path (H2D frames ->
+                # resize/normalize -> forward -> decode -> NMS) fed from host
+                # RAM.  The from-JPEG-bytes path (host decode included) is
+                # scripts/bench_jpeg.py's *_from_jpeg_bytes_* metric — the
+                # two are deliberately named apart (r4 review).
+                "metric": f"{mdl}_device_eval_images_per_sec_{hw[0]}x{hw[1]}_{mode}"
                 if hw != (512, 512)
-                else f"{mdl}_e2e_eval_images_per_sec_512px_{mode}",
+                else f"{mdl}_device_eval_images_per_sec_512px_{mode}",
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),

@@ -62,10 +62,15 @@ def make_eval_pipeline(
     def body(params, batch_stats, images_u8):
         x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
         cls_l, cnt_l, reg_l = fwd(params, batch_stats, x)
-        # decode exactly len(strides) levels: passing 4 strides reproduces
-        # the reference's silent zip-truncation (test.py:176 decodes 4 of 5
-        # pyramid levels — SURVEY §2.7) as an explicit eval-compat mode
+        # decode exactly len(strides) levels: passing ONE fewer stride than
+        # the model has levels reproduces the reference's zip-truncation
+        # (test.py:176 decodes 4 of 5 pyramid levels — SURVEY §2.7) as an
+        # explicit eval-compat mode.  Anything else is a config error —
+        # fail loudly instead of silently decoding a subset.
         k = len(strides)
+        assert k in (len(cls_l), len(cls_l) - 1), (
+            f"{k} strides for a {len(cls_l)}-level model: only the full set "
+            f"or the documented ref-compat (levels-1) truncation is allowed")
         return decode_detections(
             cls_l[:k], cnt_l[:k], reg_l[:k], strides, score_threshold,
             nms_iou, max_detections, canvas_hw
@@ -358,6 +363,9 @@ def make_eval_pipeline_int8(
             x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
         cls_l, cnt_l, reg_l = fwd(qtree, params, batch_stats, x)
         k = len(strides)  # 4-stride eval-compat mode (see make_eval_pipeline)
+        assert k in (len(cls_l), len(cls_l) - 1), (
+            f"{k} strides for a {len(cls_l)}-level model: only the full set "
+            f"or the documented ref-compat (levels-1) truncation is allowed")
         return decode_detections(
             cls_l[:k], cnt_l[:k], reg_l[:k], strides, score_threshold,
             nms_iou, max_detections, canvas_hw, nms_impl=nms_impl,

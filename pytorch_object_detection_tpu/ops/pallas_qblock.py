@@ -366,6 +366,30 @@ def _pick_qb_bands(h, row_bytes, budget=int(9.5 * 2**20), min_band=28):
     return 1
 
 
+def _pick_qb_row_chunk(h: int, bands: int, cin: int) -> int:
+    """Default grid row-chunk for :func:`qbottleneck` (before the band-
+    divisibility clamp applied at the call site).
+
+    Banded: largest divisor of the band <= the tuned 16 (COCO stage-1 A/B:
+    rc=14 2.72 ms vs rc=28 2.84 vs rc=7 2.80 vs whole-image 3.19);
+    whole-image keeps the plain 16.
+
+    r4 COCO sweep exception: wide-channel whole-image kernels at
+    /14-divisible heights (COCO /32 level 28x44x2048, and its halved h=14
+    form) run 3.77 ms at rc=14 vs 1.46 at rc=7 — pin rc=7 there.  Keyed on
+    h % 14 == 0 so BOTH the h=14 case (where the generic min() would land
+    on 14) and the forced-bands=1 h=28 case (where the divisor fallback
+    would otherwise degrade to rc=4) take the measured chunk.  512^2
+    (h=16, rc=16) and every banded config are untouched."""
+    band_h = h // bands
+    if bands > 1:
+        return next(rc for rc in range(min(band_h, 16), 0, -1)
+                    if band_h % rc == 0)
+    if cin >= 2048 and h % 14 == 0:
+        return 7
+    return 16
+
+
 def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
                 short_mul=None, wd=None, ad=None, bd=None,
                 row_chunk: int | None = None, merged: bool = False,
@@ -395,20 +419,7 @@ def qbottleneck(x, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
     assert h % bands == 0, (h, bands)
     band_h = h // bands
     if row_chunk is None:
-        # banded: largest divisor of the band <= the tuned 16 (COCO
-        # stage-1 A/B: rc=14 2.72 ms vs rc=28 2.84 vs rc=7 2.80 vs
-        # whole-image 3.19); whole-image keeps the plain 16
-        if bands > 1:
-            row_chunk = next(rc for rc in range(min(band_h, 16), 0, -1)
-                             if band_h % rc == 0)
-        else:
-            row_chunk = 16
-        # r4 COCO sweep: wide-channel whole-image kernels where the /32
-        # level height forces rc=14 (28x44x2048 layer-4) run 3.77 ms at
-        # rc=14 vs 1.46 at rc=7 — halve the chunk there.  512^2 (h=16,
-        # rc=16) and every banded config are untouched.
-        if bands == 1 and cin >= 2048 and min(row_chunk, h) == 14:
-            row_chunk = 7
+        row_chunk = _pick_qb_row_chunk(h, bands, cin)
     row_chunk = min(row_chunk, band_h)
     while band_h % row_chunk:  # non-pow2 canvases (COCO 896x1408)
         row_chunk //= 2

@@ -118,16 +118,17 @@ def build_detect(batch_size: int):
     from pytorch_object_detection_tpu.ops.postprocess import decode_detections
     from pytorch_object_detection_tpu.train.trainer import make_eval_forward_int8
 
-    from pytorch_object_detection_tpu.data.pipeline import (
-        IMAGENET_MEAN,
-        IMAGENET_STD,
-    )
-
     model = HISFCOS(num_classes=20)
-    skey = bench._state_key("int8", HW, 20)
+    # This bench hard-codes HISFCOS with the full int8 ladder; pin exactly
+    # those inputs into the cache key (rather than inheriting whatever
+    # PODT_BENCH_MODEL / PODT_INT8_* happen to be in the env) so the state
+    # written here is the one bench.py's default int8 run would also build.
+    skey = bench._state_key(
+        "int8", HW, 20, name="hisfcos",
+        knob_overrides={"PODT_INT8_FPN": "1", "PODT_INT8_HEAD": "1"},
+    )
     # same calibration recipe (and therefore same cache entry) as bench.py
-    calib = jax.random.uniform(jax.random.PRNGKey(1), (8, *HW, 3), jnp.float32)
-    calib = (calib - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    calib = bench.int8_calib_images(HW)
     state = bench._cached_state(
         skey, lambda: bench.fcos_int8_state(model, HW, calib, True, True)
     )

@@ -1306,3 +1306,22 @@ def test_pick_qb_bands_r4_policy():
     assert _pick_qb_bands(28, rb(44, 2048, 2048)) == 2   # layer4: 14-row bands
     # stage-1 merged plateau stays at 28-row bands (r3 A/B)
     assert _pick_qb_bands(112, rb(352, 512, 512)) == 4
+
+
+@pytest.mark.fast
+def test_pick_qb_row_chunk_r4_policy():
+    """The r4 rc=7 override fires for BOTH wide-channel whole-image /32
+    COCO forms — h=14 (natural) and h=28 (forced bands=1) — and leaves the
+    512^2 (h=16) and banded configs on their measured chunks (the r5 fix
+    for the advisor's dead-condition finding)."""
+    from pytorch_object_detection_tpu.ops.pallas_qblock import (
+        _pick_qb_row_chunk,
+    )
+
+    assert _pick_qb_row_chunk(14, 1, 2048) == 7   # halved /32 COCO level
+    assert _pick_qb_row_chunk(28, 1, 2048) == 7   # forced whole-image layer4
+    assert _pick_qb_row_chunk(16, 1, 2048) == 16  # 512^2 layer4 untouched
+    assert _pick_qb_row_chunk(28, 1, 1024) == 16  # narrow channels untouched
+    # banded path: largest divisor of the band <= 16
+    assert _pick_qb_row_chunk(28, 2, 2048) == 14  # 14-row bands -> rc=14
+    assert _pick_qb_row_chunk(112, 4, 512) == 14  # 28-row bands -> rc=14
