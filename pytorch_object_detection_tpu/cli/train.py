@@ -89,6 +89,15 @@ def main():
     ap.add_argument("--cache-decoded", action="store_true",
                     help="cache decoded images in memory across epochs (small "
                          "datasets; augmentation still randomizes per epoch)")
+    ap.add_argument("--ring-loader", action="store_true",
+                    help="batched-native host loader (data/pipeline."
+                         "RingTileLoader): one Python call per batch, "
+                         "preallocated ring, C++ thread-pool JPEG decode "
+                         "straight into raw tiles; the aspect-preserving "
+                         "resize joins the device program.  Removes the "
+                         "per-image-Python loader ceiling (PERF.md r5).  "
+                         "Host color-jitter/rotate/crop augments are "
+                         "replaced by the device jitter+flip (VOC only)")
     ap.add_argument("--nan-check-every", type=int, default=1,
                     help="fetch the pipelined loss scalar every N steps. Each fetch "
                          "is a host roundtrip (~24 ms on the axon tunnel) that paces "
@@ -254,6 +263,25 @@ def main():
                        [str(i) for i in range(batch_size)])
 
         epochs, loader = 1, batches()
+    elif args.ring_loader:
+        from pytorch_object_detection_tpu.data.pipeline import (
+            RingTileLoader,
+            make_device_resize,
+        )
+        from pytorch_object_detection_tpu.data.voc import VOCDataset
+
+        assert cfg["model"]["dataset"] == "VOC", "--ring-loader: VOC only"
+        ds_cfg = cfg["dataset_setting"]
+        roots = [p for p in (ds_cfg.get("train_07"), ds_cfg.get("train_12")) if p]
+        dataset = VOCDataset(roots, ds_cfg.get("type", "trainval"), canvas,
+                             raw_tiles=True)
+        loader = RingTileLoader(
+            dataset, batch_size,
+            max_boxes=int(ds_cfg.get("max_boxes", 64)),
+            decode_threads=int(ds_cfg.get("num_workers", 0)),
+        )
+        ring_resize = make_device_resize(canvas)
+        epochs = int(block["Epoch"])
     else:
         dataset = build_dataset(cfg, train=True, cache_decoded=args.cache_decoded)
         loader = DetectionLoader(
@@ -293,7 +321,16 @@ def main():
         for batch in epoch_iter:
             images_u8, boxes, labels, _scales, content_w = batch[:5]
             rng, k = jax.random.split(rng)
-            imgs, bxs = preprocess(k, jnp.asarray(images_u8), jnp.asarray(boxes), jnp.asarray(content_w))
+            if args.ring_loader:
+                # raw tiles: device-side aspect-preserving resize first
+                # (boxes are already host-scaled to canvas coordinates)
+                src_hw = np.stack([batch.content_h, batch.content_w], 1).astype(np.int32)
+                canvas_u8, _s, content_hw = ring_resize(
+                    jnp.asarray(images_u8), jnp.asarray(src_hw))
+                imgs, bxs = preprocess(k, canvas_u8, jnp.asarray(boxes),
+                                       content_hw[:, 1])
+            else:
+                imgs, bxs = preprocess(k, jnp.asarray(images_u8), jnp.asarray(boxes), jnp.asarray(content_w))
             if mesh is not None:
                 if mp > 1 and args.layout == "sp":
                     from pytorch_object_detection_tpu.parallel.sp import (

@@ -18,15 +18,19 @@ import numpy as np
 
 
 def decode_image(path) -> np.ndarray:
-    """RGB uint8 [H,W,3] from an image file (native JPEG path, PIL fallback)."""
+    """RGB uint8 [H,W,3] from an image file or raw bytes (native JPEG
+    path, PIL fallback)."""
     from pytorch_object_detection_tpu.native import lib as native
 
     out = native.jpeg_decode_native(path)
     if out is not None:
         return out
+    import io
+
     from PIL import Image
 
-    return np.asarray(Image.open(path).convert("RGB"))
+    src = io.BytesIO(path) if isinstance(path, (bytes, bytearray)) else path
+    return np.asarray(Image.open(src).convert("RGB"))
 
 
 def decode_image_to_tile(path, tile_hw: Tuple[int, int]):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import os
 from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -327,3 +328,193 @@ class DetectionLoader:
                     yield item
             finally:
                 stop.set()
+
+
+class RingTileLoader:
+    """Batched-native loader: ONE Python call per batch, preallocated ring.
+
+    DetectionLoader pays ~3 ms of serial Python per image (a __getitem__
+    call, a Sample object, per-field copies in _batch_from_samples) — a
+    ~310 img/s ceiling on one core no matter how many decode threads run
+    (PERF.md r3/r4).  This loader removes the per-image Python entirely:
+
+      * annotations are parsed ONCE at init into dense [N, M, 4]/[N, M]
+        arrays; per batch they are fancy-indexed and scaled vectorized;
+      * raw JPEG bytes are cached in host RAM at init (a VOC-sized corpus
+        is ~2 GB); the per-image work in the hot loop is one list index;
+      * each batch is decoded by a single ctypes call into the C++ libjpeg
+        thread pool (GIL released) writing straight into one of ``depth``
+        PREALLOCATED [B, th, tw, 3] ring slots — no allocation, no
+        first-touch page faults, no per-image numpy copies;
+      * box scaling to canvas coordinates runs on the whole batch array.
+
+    Yields the same raw-tile Batch contract as
+    ``DetectionLoader(dataset(raw_tiles=True))``: device-side
+    aspect-preserving resize consumes (tiles, content_hw); a yielded Batch's
+    ``images`` is a VIEW of a ring slot, valid until ``depth - 1`` further
+    batches have been drawn (the consumer hands the oldest slot back to the
+    producer) — transfer it (jnp.asarray / device_put) before then.
+
+    Serial-overhead measurement: ``skip_decode=True`` replaces the decode
+    call with nothing (tiles keep stale bytes), so the loop's rate IS the
+    non-decode ceiling (scripts/bench_loader.py; PERF.md r5 "loader
+    ceiling").
+
+    Supports VOC-style datasets (``.items`` of (root, image_id)); augment
+    must be None — training augmentation runs on device
+    (make_device_preprocess), exactly so the host loader can stay batched.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        max_boxes: int = 64,
+        shuffle: bool = True,
+        seed: int = 0,
+        decode_threads: int = 0,
+        depth: int = 3,
+        drop_last: bool = True,
+        pad_last: bool = False,
+        process_count: Optional[int] = None,
+        process_index: Optional[int] = None,
+        skip_decode: bool = False,
+    ):
+        from pytorch_object_detection_tpu.data.voc import parse_voc_xml
+
+        assert getattr(dataset, "augment", None) is None, (
+            "RingTileLoader is the batched host path; use device-side "
+            "augmentation (make_device_preprocess)")
+        assert depth >= 2
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.shuffle = shuffle
+        self.seed = seed
+        self.decode_threads = decode_threads
+        self.depth = depth
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.process_count = process_count
+        self.process_index = process_index
+        self.skip_decode = skip_decode
+        self.epoch = 0
+        self.canvas_hw = dataset.canvas_hw
+        self.tile_hw = getattr(dataset, "tile_hw", dataset.canvas_hw)
+
+        n = len(dataset.items)
+        self._ids = [img_id for _root, img_id in dataset.items]
+        self._blobs: List[bytes] = []
+        self.boxes_all = np.full((n, max_boxes, 4), -1.0, np.float32)
+        self.labels_all = np.full((n, max_boxes), -1, np.int32)
+        for i, (root, img_id) in enumerate(dataset.items):
+            with open(os.path.join(root, "JPEGImages", f"{img_id}.jpg"), "rb") as f:
+                self._blobs.append(f.read())
+            bx, lb = parse_voc_xml(
+                os.path.join(root, "Annotations", f"{img_id}.xml"),
+                getattr(dataset, "use_difficult", False),
+            )
+            k = min(len(bx), max_boxes)
+            if k:
+                self.boxes_all[i, :k] = bx[:k]
+                self.labels_all[i, :k] = lb[:k]
+
+        th, tw = self.tile_hw
+        self._ring_tiles = np.zeros((depth, batch_size, th, tw, 3), np.uint8)
+        self._ring_hw = np.zeros((depth, batch_size, 2), np.int32)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self._blobs)
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        pc = self.process_count if self.process_count is not None else jax.process_count()
+        pi = self.process_index if self.process_index is not None else jax.process_index()
+        if pc > 1:
+            idx = idx[pi::pc]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _produce(self, chunk: np.ndarray, slot: int) -> Batch:
+        from pytorch_object_detection_tpu.native.lib import jpeg_decode_batch_native
+
+        n_real = len(chunk)
+        if self.pad_last and n_real < self.batch_size:
+            chunk = np.concatenate(
+                [chunk, np.full(self.batch_size - n_real, chunk[-1], chunk.dtype)])
+        b = len(chunk)
+        tiles = self._ring_tiles[slot, :b]
+        hw = self._ring_hw[slot, :b]
+        blobs = [self._blobs[i] for i in chunk]  # the only per-image Python
+        if not self.skip_decode:
+            out = jpeg_decode_batch_native(
+                blobs, self.tile_hw, self.decode_threads,
+                out_tiles=tiles, out_hw=hw)
+            if out is None:  # no native lib: whole-batch PIL fallback
+                from pytorch_object_detection_tpu.data.decode import decode_image
+
+                for j, blob in enumerate(blobs):
+                    tiles[j], (h, w) = decode_to_tile(
+                        decode_image(blob), self.tile_hw)
+                    hw[j] = (h, w)
+            else:
+                _, _, ok = out
+                for j in np.nonzero(~ok)[0]:  # rare per-image fallback
+                    from pytorch_object_detection_tpu.data.decode import decode_image
+
+                    tiles[j], (h, w) = decode_to_tile(
+                        decode_image(blobs[j]), self.tile_hw)
+                    hw[j] = (h, w)
+            np.minimum(hw, np.asarray(self.tile_hw, np.int32), out=hw)
+        else:
+            hw[:] = np.asarray(self.tile_hw, np.int32)
+        ch, cw = self.canvas_hw
+        scale = np.minimum(ch / np.maximum(hw[:, 0], 1),
+                           cw / np.maximum(hw[:, 1], 1)).astype(np.float32)
+        raw = self.boxes_all[chunk]
+        boxes = np.where(raw >= 0.0, raw * scale[:, None, None], -1.0)
+        return Batch(tiles, boxes, self.labels_all[chunk], scale,
+                     hw[:, 1].copy(), [self._ids[i] for i in chunk],
+                     n_real, hw[:, 0].copy())
+
+    def __iter__(self):
+        indices = self._indices()
+        self.epoch += 1
+        n_batches = len(self) if not self.drop_last else len(indices) // self.batch_size
+
+        free_q: "queue.Queue" = queue.Queue()
+        for s in range(self.depth):
+            free_q.put(s)
+        out_q: "queue.Queue" = queue.Queue()
+        stop = threading.Event()
+
+        def producer():
+            for bi in range(n_batches):
+                if stop.is_set():
+                    return
+                slot = free_q.get()
+                chunk = indices[bi * self.batch_size : (bi + 1) * self.batch_size]
+                out_q.put((slot, self._produce(chunk, slot)))
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        held: List[int] = []
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                slot, batch = item
+                # the consumer may still be transferring the PREVIOUS slot;
+                # recycle slots depth-1 batches behind the one yielded
+                held.append(slot)
+                if len(held) > self.depth - 1:
+                    free_q.put(held.pop(0))
+                yield batch
+        finally:
+            stop.set()
+            free_q.put(0)  # unblock a producer waiting on a slot

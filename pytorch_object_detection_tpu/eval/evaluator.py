@@ -452,6 +452,7 @@ def collect_voc_predictions(
     mesh=None,
     process_count: Optional[int] = None,
     process_index: Optional[int] = None,
+    use_ring_loader: bool = False,
 ):
     """Run the eval pipeline over this process's dataset shard.
 
@@ -460,11 +461,25 @@ def collect_voc_predictions(
     = each process collects its shard, the union of the lists across
     processes covers every image exactly once (tested in
     tests/test_end_to_end.py::test_sharded_eval_union_matches_single).
+
+    ``use_ring_loader``: feed from data/pipeline.RingTileLoader (batched
+    native decode into a preallocated ring — no per-image Python; requires
+    a raw-tiles VOC-style dataset).  Same batches, faster host (PERF.md r5
+    "loader ceiling").
     """
-    loader = DetectionLoader(
-        dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers,
-        pad_last=True, process_count=process_count, process_index=process_index,
-    )
+    if use_ring_loader:
+        from pytorch_object_detection_tpu.data.pipeline import RingTileLoader
+
+        loader = RingTileLoader(
+            dataset, batch_size, shuffle=False, drop_last=False,
+            pad_last=True, decode_threads=num_workers,
+            process_count=process_count, process_index=process_index,
+        )
+    else:
+        loader = DetectionLoader(
+            dataset, batch_size, shuffle=False, drop_last=False, num_workers=num_workers,
+            pad_last=True, process_count=process_count, process_index=process_index,
+        )
     raw_tiles = bool(getattr(dataset, "raw_tiles", False))
     gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, ids = [], [], [], [], [], []
     for batch in loader:
@@ -500,6 +515,7 @@ def evaluate_voc(
     process_count: Optional[int] = None,
     process_index: Optional[int] = None,
     pipeline=None,
+    use_ring_loader: bool = False,
 ) -> Dict:
     """Full VOC eval: per-class AP@0.5, mAP, images/sec (reference test.py).
 
@@ -508,7 +524,8 @@ def evaluate_voc(
     process_count/index override the loader's multi-host shard (testing).
     ``pipeline`` injects a custom jitted (params, batch_stats, images_u8) ->
     Detections program (e.g. the int8 serving pipeline, see
-    :func:`make_eval_pipeline_int8`).
+    :func:`make_eval_pipeline_int8`).  ``use_ring_loader``: see
+    :func:`collect_voc_predictions`.
     """
     canvas_hw = dataset.canvas_hw
     if pipeline is None:
@@ -520,6 +537,7 @@ def evaluate_voc(
     gt_boxes, gt_labels, pred_boxes, pred_labels, pred_scores, _ids = collect_voc_predictions(
         pipeline, params, batch_stats, dataset, batch_size, num_workers,
         mesh=mesh, process_count=process_count, process_index=process_index,
+        use_ring_loader=use_ring_loader,
     )
     n_images = len(gt_boxes)
     elapsed = time.perf_counter() - t0

@@ -172,13 +172,20 @@ def jpeg_decode_tile_native(data, tile_hw) -> Optional[tuple]:
     return tile, (int(hw[0]), int(hw[1]))
 
 
-def jpeg_decode_batch_native(datas, tile_hw, n_threads: int = 0):
+def jpeg_decode_batch_native(datas, tile_hw, n_threads: int = 0,
+                             out_tiles: Optional[np.ndarray] = None,
+                             out_hw: Optional[np.ndarray] = None):
     """Threaded batch decode into one contiguous [N,th,tw,3] u8 array.
 
     The GIL is released for the whole batch (one ctypes call into the
     C++ thread pool). Returns (tiles, hw [N,2] i32, ok [N] bool); failed
     images have ok=False and an undefined tile — the caller re-decodes
     those through the PIL fallback.
+
+    ``out_tiles``/``out_hw``: preallocated destination buffers (ring-buffer
+    reuse — a fresh [128,512,512,3] allocation costs ~200 MB of first-touch
+    page faults per call, see scripts/bench_jpeg.py).  Must be C-contiguous
+    with the exact shapes/dtypes above.
     """
     lib = _load()
     if lib is None:
@@ -186,8 +193,17 @@ def jpeg_decode_batch_native(datas, tile_hw, n_threads: int = 0):
     th, tw = tile_hw
     bufs = [np.frombuffer(_as_bytes(d), np.uint8) for d in datas]
     n = len(bufs)
-    tiles = np.empty((n, th, tw, 3), np.uint8)
-    hw = np.zeros((n, 2), np.int32)
+    if out_tiles is None:
+        tiles = np.empty((n, th, tw, 3), np.uint8)
+    else:
+        assert out_tiles.shape == (n, th, tw, 3) and out_tiles.dtype == np.uint8
+        assert out_tiles.flags["C_CONTIGUOUS"]
+        tiles = out_tiles
+    if out_hw is None:
+        hw = np.zeros((n, 2), np.int32)
+    else:
+        assert out_hw.shape == (n, 2) and out_hw.dtype == np.int32
+        hw = out_hw
     status = np.zeros(n, np.int32)
     ptrs = (ctypes.c_void_p * n)(*[b.ctypes.data for b in bufs])
     lens = (ctypes.c_size_t * n)(*[b.size for b in bufs])

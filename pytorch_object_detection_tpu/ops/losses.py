@@ -33,17 +33,44 @@ def sigmoid_focal_loss(
 ) -> jnp.ndarray:
     """Elementwise sigmoid focal loss (reference loss.py:180-193).
 
-    The reference clips probabilities to ``[5e-6, 1 - 5e-11]`` before the log;
-    we reproduce that exactly (it bounds the loss rather than the gradient).
-    """
-    p = jnp.clip(jax_sigmoid(logits), 5e-6, 1.0 - 5e-11)
-    pt = p * targets_onehot + (1.0 - p) * (1.0 - targets_onehot)
-    w = alpha * targets_onehot + (1.0 - alpha) * (1.0 - targets_onehot)
-    return -w * jnp.power(1.0 - pt, gamma) * jnp.log(pt)
+    The reference clips probabilities to ``[5e-6, 1 - 5e-11]`` before the
+    log.  We apply the SAME window, but in log space: in f32 the upper
+    bound ``1 - 5e-11`` is unrepresentable (rounds to exactly 1.0), so the
+    reference's own clamp is a no-op there and ``log(1 - sigmoid(x))``
+    becomes ``log(0) = -inf`` once a wrong-way logit passes ~+17 — the
+    clip only ever "worked" in the torch code because FCOS training never
+    drove logits that far.  ``log(1 - 5e-11) = -5e-11`` IS representable,
+    so clipping ``log(pt)`` (computed stably via log_sigmoid) reproduces
+    the intended window bit-for-bit where f32 defines it and stays finite
+    with finite gradients everywhere (r5: the Adam RetinaNet run reached
+    that regime and NaN'd before this fix)."""
+    import jax
+
+    t = targets_onehot
+    # log(pt): log(p) = log_sigmoid(x) for targets, log(1-p) = log_sigmoid(-x)
+    log_pt = jax.nn.log_sigmoid(logits) * t + jax.nn.log_sigmoid(-logits) * (1.0 - t)
+    log_pt = jnp.clip(log_pt, jnp.log(5e-6), -5e-11)
+    # (1 - pt) with the clip window's complement: pt in [5e-6, 1-5e-11]
+    one_m_pt = jax_sigmoid(-logits) * t + jax_sigmoid(logits) * (1.0 - t)
+    one_m_pt = jnp.clip(one_m_pt, 5e-11, 1.0 - 5e-6)
+    w = alpha * t + (1.0 - alpha) * (1.0 - t)
+    return -w * jnp.power(one_m_pt, gamma) * log_pt
 
 
 def jax_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
-    return 1.0 / (1.0 + jnp.exp(-x))
+    """Numerically stable sigmoid.
+
+    NOT ``1/(1+exp(-x))``: that form's autodiff emits ``exp(-x)`` which
+    overflows to inf for x < -88 (f32), turning the gradient into
+    ``inf * 0 = NaN``.  Focal training drives background logits exactly
+    there (tens of thousands of negatives pushed toward p=0) — the r5
+    RetinaNet convergence run NaN'd at step ~1.2k through this before the
+    fix.  ``jax.nn.sigmoid`` computes the log-space form with a stable
+    custom JVP; forward values are identical to the naive form after the
+    callers' clipping."""
+    import jax
+
+    return jax.nn.sigmoid(x)
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

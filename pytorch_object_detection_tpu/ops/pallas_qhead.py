@@ -45,7 +45,9 @@ NUM_GROUPS = 32
 
 # dev ablation knob (read at trace time): "nosilu" replaces the stem SiLU
 # with ReLU, "nostats" skips the GN stat accumulation, "nodw" skips the
-# depthwise taps — for attributing the kernel's VPU cost, never accuracy
+# depthwise taps, "skeleton" strips ALL epilogue VPU work (stats, normalize
+# FMAs, SiLU — leaves the MXU dots + band plumbing + stores: the structural
+# floor of this kernel design) — for attributing VPU cost, never accuracy
 import os as _os
 
 _ABL = _os.environ.get("PODT_QHEAD_ABL", "")
@@ -109,7 +111,10 @@ def _norm_relu_band(src_s, r0, rc, height, width, ch, mult, shift):
     lo, hi = r0 - 1, r0 + rc + 1
     clo, chi = max(lo, 0), min(hi, height)
     z = src_s[clo:chi].astype(jnp.float32)
-    q = _clip8(jnp.maximum(z * mult + shift, 0.0))
+    if _ABL == "skeleton":
+        q = _clip8(z)
+    else:
+        q = _clip8(jnp.maximum(z * mult + shift, 0.0))
     zrow = jnp.zeros((1, width, ch), jnp.int8)
     for _ in range(clo - lo):
         q = jnp.concatenate([zrow, q], axis=0)
@@ -150,7 +155,7 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
     def ch_sums(z2d):
         """Per-channel sum and sum-of-squares (VPU reduce; MXU ones-dot
         variants measured neutral-to-slower with the int8 dw path)."""
-        if _ABL == "nostats":
+        if _ABL in ("nostats", "skeleton"):
             z = jnp.zeros((1, z2d.shape[1]), jnp.float32)
             return z, z + 1.0
         return (jnp.sum(z2d, axis=0, keepdims=True),
@@ -191,8 +196,12 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
     # ---- normalize-2 + SiLU + pw2 + residual in ONE pass (1x1: no halo)
     for r0 in range(0, height, row_chunk):
         z = z2_s[r0:r0 + row_chunk].astype(jnp.float32)
-        x2 = (jnp.maximum(z * mult2 + shift2, 0.0) if _ABL == "nosilu"
-              else _silu(z * mult2 + shift2))
+        if _ABL == "skeleton":
+            x2 = z
+        elif _ABL == "nosilu":
+            x2 = jnp.maximum(z * mult2 + shift2, 0.0)
+        else:
+            x2 = _silu(z * mult2 + shift2)
         xs = _clip8(x2 * inv_x2).reshape(row_chunk * width, c2)
         y = _dot_i8(xs, w2_ref[:]).astype(jnp.float32) * a2r + b2r
         res = x_img[r0:r0 + row_chunk].reshape(row_chunk * width, cin)
@@ -216,7 +225,7 @@ def _qhead_kernel(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
                     win = _shift_cols(rows, kx, 1, width, cin)
                     acc = acc + _dot_i8(win.reshape(row_chunk * width, cin), w_t[ky, kx])
             z = acc.astype(jnp.float32) * a_t
-            if _ABL != "nostats":
+            if _ABL not in ("nostats", "skeleton"):
                 st = st + jnp.sum(z, axis=0, keepdims=True)
                 sst = sst + jnp.sum(z * z, axis=0, keepdims=True)
             zt_s[r0:r0 + row_chunk] = z.reshape(row_chunk, width, cin).astype(jnp.bfloat16)

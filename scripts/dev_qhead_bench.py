@@ -30,7 +30,11 @@ def main():
     )
     from pytorch_object_detection_tpu.ops.pallas_qhead import qhishead_level
 
-    sizes = [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4)]
+    if os.environ.get("SIZES"):  # e.g. SIZES=112x176,56x88 (COCO canvas)
+        sizes = [tuple(int(v) for v in s.split("x"))
+                 for s in os.environ["SIZES"].split(",")]
+    else:
+        sizes = [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4)]
     only = os.environ.get("LEVELS")  # e.g. "0" = P3 only
     keep = [int(v) for v in only.split(",")] if only else list(range(len(sizes)))
     head = HISHead(num_classes=NC, features=C)

@@ -93,3 +93,32 @@ def test_flatten_level_preds():
     out = L.flatten_level_preds([lv1, lv2])
     assert out.shape == (2, 20, 20)
     assert float(out[0, 16, 0]) == 1.0
+
+
+def test_focal_gradient_finite_at_extreme_logits():
+    """Stable-sigmoid regression (r5): the naive 1/(1+exp(-x)) form NaN'd
+    the focal GRADIENT once background logits passed -88 (exp overflow ->
+    inf * 0 in the chain rule) — the r5 RetinaNet convergence run died at
+    step ~1.2k through it.  Forward values match the naive form after the
+    reference clip window; gradients must be finite at any logit."""
+    import jax
+
+    logits = jnp.array([[-200.0, -88.0, -20.0, 0.0, 20.0, 88.0, 200.0]])
+    onehot = jnp.array([[0.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0]])
+
+    val = L.sigmoid_focal_loss(logits, onehot)
+    assert np.isfinite(np.asarray(val)).all()
+    g = jax.grad(lambda x: L.sigmoid_focal_loss(x, onehot).sum())(logits)
+    assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
+
+    # anchor-codec loss end to end at extreme logits (the RetinaNet path)
+    from pytorch_object_detection_tpu.ops.anchors import retinanet_loss
+
+    cls_t = jnp.array([[3, 0, -1, 0]], jnp.int32)
+    loc_t = jnp.zeros((1, 4, 4))
+    cls_logits = jnp.full((1, 4, 5), -200.0)
+    loc_p = jnp.zeros((1, 4, 4))
+    g2 = jax.grad(
+        lambda x: retinanet_loss(x, loc_p, cls_t, loc_t, 5)["total"]
+    )(cls_logits)
+    assert np.isfinite(np.asarray(g2)).all()

@@ -151,3 +151,20 @@ def test_load_config_outside_repo_root(tmp_path, monkeypatch):
     cfg = load_config("config/main.yaml")
     assert cfg["model"]["name"] in ("FCOS", "HISFCOS", "MNFCOS")
     assert "dataset_setting" in cfg
+
+
+@pytest.mark.slow
+def test_train_cli_ring_loader(tmp_path):
+    """--ring-loader (r5 batched-native host path): trains through the
+    device-resize + device-augment pipeline with finite losses."""
+    from tests.test_data import _write_voc_fixture
+
+    voc_root = str(tmp_path / "VOC2007")
+    _write_voc_fixture(voc_root, n=4)
+    cfg = _write_config(tmp_path, voc_root)
+    ckpt_dir = str(tmp_path / "ckpt")
+    r = _run(["scripts/train.py", "--config", cfg, "--steps", "2",
+              "--log-every", "1", "--ring-loader", "--checkpoint-dir", ckpt_dir])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "training done" in r.stdout
+    assert "total=nan" not in r.stdout
