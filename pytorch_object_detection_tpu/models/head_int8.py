@@ -215,15 +215,27 @@ def hishead_int8_forward(q, levels_q, backend: str = "xla",
     static int when ``q`` flows through a jit boundary (dict leaves become
     tracers there).
     """
+    import os
+
     nc = int(num_classes) if num_classes is not None else int(q["num_classes"])
     if backend == "pallas":
-        from pytorch_object_detection_tpu.ops.pallas_qhead import qhishead_level
+        from pytorch_object_detection_tpu.ops.pallas_qhead import (
+            qhishead_level,
+            qhishead_level2,
+        )
+
+        # PODT_QHEAD_V2=1 routes the r5 image-pair pipelined kernel
+        # (transparently falls back to v1 for odd batches); default v1
+        # until the on-chip A/B lands
+        level_fn = (qhishead_level2
+                    if os.environ.get("PODT_QHEAD_V2", "0") == "1"
+                    else qhishead_level)
 
     cls_l, cnt_l, reg_l = [], [], []
     for i, x_q in enumerate(levels_q):
         lv = q["levels"][i]
         if backend == "pallas":
-            cls, cr = qhishead_level(q, lv, x_q, num_classes=nc, interpret=interpret)
+            cls, cr = level_fn(q, lv, x_q, num_classes=nc, interpret=interpret)
         else:
             cls, cr = _hishead_level_i8_xla(q, lv, x_q, nc)
         s = q["scale_exp"][i]

@@ -28,7 +28,13 @@ def main():
         calibrate_hishead,
         quantize_hishead,
     )
-    from pytorch_object_detection_tpu.ops.pallas_qhead import qhishead_level
+    from pytorch_object_detection_tpu.ops.pallas_qhead import (
+        qhishead_level,
+        qhishead_level2,
+    )
+
+    if os.environ.get("PODT_QHEAD_V2", "0") == "1":  # r5 pipelined kernel
+        qhishead_level = qhishead_level2
 
     if os.environ.get("SIZES"):  # e.g. SIZES=112x176,56x88 (COCO canvas)
         sizes = [tuple(int(v) for v in s.split("x"))

@@ -603,6 +603,31 @@ def test_qhishead_kernel_matches_oracle():
         assert _cos(crP, crX) > 0.999, i
 
 
+def test_qhishead_kernel2_matches_oracle():
+    """v2 image-pair pipelined head kernel (r5): same oracle contract as
+    v1 (the recomputed pw1 band keeps f32 where v1 round-tripped bf16 —
+    sub-LSB), on even AND odd batches (odd falls back to v1)."""
+    from pytorch_object_detection_tpu.models.head_int8 import _hishead_level_i8_xla
+    from pytorch_object_detection_tpu.ops.pallas_qhead import qhishead_level2
+
+    head, v, levels, lv_q, q = _small_head_setup()
+    for i in (0, 3):
+        lv = q["levels"][i]
+        clsP, crP = qhishead_level2(q, lv, lv_q[i], num_classes=20,
+                                    row_chunk=4, interpret=True)
+        clsX, crX = _hishead_level_i8_xla(q, lv, lv_q[i])
+        scale = float(np.abs(np.asarray(clsX)).max()) + 1e-6
+        d = np.abs(np.asarray(clsP, np.float64) - np.asarray(clsX, np.float64)).max()
+        assert d / scale < 0.05, (i, d, scale)
+        assert _cos(clsP, clsX) > 0.999, i
+        assert _cos(crP, crX) > 0.999, i
+    # odd batch: transparent v1 fallback
+    x3 = lv_q[0][:1]
+    cls3, cr3 = qhishead_level2(q, q["levels"][0], x3, num_classes=20,
+                                row_chunk=4, interpret=True)
+    assert cls3.shape[0] == 1 and cr3.shape[0] == 1
+
+
 def test_qhishead_kernel_coco_classes_and_canvas():
     """80-class head (pred channels pad to 96, not the old fixed 32) on a
     COCO-canvas-family level shape (7x11) matches the oracle — covers the
