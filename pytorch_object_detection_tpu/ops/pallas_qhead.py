@@ -394,7 +394,7 @@ def qhishead_level(q, lv, x_q, *, num_classes: int | None = None,
 def _qhead_kernel2(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
                    wcr_ref, g1_ref, g2_ref, gn_ref, sc_ref, sm_ref,
                    cls_ref, cr_ref, z2_s, yq_s, *,
-                   height, width, cin, row_chunk, pred_pad):
+                   height, width, cin, row_chunk, pred_pad, pred_pad_cr):
     c2 = 2 * cin
     npix = height * width
     rc = row_chunk
@@ -404,7 +404,7 @@ def _qhead_kernel2(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
     acr_t = sc_ref[4, :cin]
     arr_t = sc_ref[5, :cin]
     apc, bpc = sc_ref[6, :pred_pad], sc_ref[7, :pred_pad]
-    acr_p, bcr_p = sc_ref[8, :pred_pad], sc_ref[9, :pred_pad]
+    acr_p, bcr_p = sc_ref[8, :pred_pad_cr], sc_ref[9, :pred_pad_cr]
     gamma1, beta1 = gn_ref[0, :], gn_ref[1, :]
     gamma2, beta2 = gn_ref[2, :], gn_ref[3, :]
     gammac, betac = gn_ref[4, :cin], gn_ref[5, :cin]
@@ -558,9 +558,9 @@ def _qhead_kernel2(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
 
         return _P(ZC, edge, interior, fin)
 
-    def pred_phase(i, w_p, a_p, b_p, out_ref, mkey):
+    def pred_phase(i, w_p, a_p, b_p, out_ref, mkey, pad):
         def core(r0, band, carry):
-            acc = jnp.zeros((rc * width, pred_pad), jnp.int32)
+            acc = jnp.zeros((rc * width, pad), jnp.int32)
             for ky in range(3):
                 rows = band[ky:ky + rc]
                 for kx in range(3):
@@ -568,7 +568,7 @@ def _qhead_kernel2(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
                     acc = acc + _dot_i8(win.reshape(rc * width, cin), w_p[ky, kx])
             out = acc.astype(jnp.float32) * a_p + b_p
             out_ref[i, pl.ds(r0, rc)] = out.reshape(
-                rc, width, pred_pad).astype(jnp.bfloat16)
+                rc, width, pad).astype(jnp.bfloat16)
             return carry
 
         def band_of(z):
@@ -593,9 +593,9 @@ def _qhead_kernel2(x_ref, w1_ref, wdw_ref, w2_ref, wc_ref, wr_ref, wpc_ref,
             p2_phase(i),
             p3_phase(i),
             tower_phase(i, wc_ref, acr_t, gammac, betac, "c"),
-            pred_phase(i, wpc_ref, apc, bpc, cls_ref, "c"),
+            pred_phase(i, wpc_ref, apc, bpc, cls_ref, "c", pred_pad),
             tower_phase(i, wr_ref, arr_t, gammar, betar, "r"),
-            pred_phase(i, wcr_ref, acr_p, bcr_p, cr_ref, "r"),
+            pred_phase(i, wcr_ref, acr_p, bcr_p, cr_ref, "r", pred_pad_cr),
         ]
 
     def run_zip(pa, pb):
@@ -661,11 +661,18 @@ def qhishead_level2(q, lv, x_q, *, num_classes: int | None = None,
     c2 = 2 * cin
     nc = int(num_classes) if num_classes is not None else int(q["num_classes"])
     pred_pad = _pred_pad_for(nc)
+    pred_pad_cr = 32  # cnt|reg needs 5 channels; its own lane pad saves VMEM
     assert pred_pad <= c2, (nc, c2)
+    # pair residency: at the COCO P3 level the rc=16 pair kernel's register
+    # spill slots alone are 23.6 MB and the program lands 3.5 MB over the
+    # 128 MB VMEM (r5 compile log); rc=8 fits and measures 11.96 ms vs
+    # v1's 14.25.  Small levels keep the tuned 16.
+    if row_chunk >= 16 and 16 * h * w * cin > 60 * 2**20:
+        row_chunk = 8
     row_chunk = pick_row_chunk(h, row_chunk)
 
     wpc, apc, bpc = _pad_pred(q["wpc"], lv["Apc"], q["bpc"], pred_pad)
-    wcr, acr, bcr = _pad_pred(q["wcr"], lv["Acr"], q["bcr"], pred_pad)
+    wcr, acr, bcr = _pad_pred(q["wcr"], lv["Acr"], q["bcr"], pred_pad_cr)
 
     def row(v, n=c2):
         v = jnp.asarray(v, jnp.float32).reshape(-1)
@@ -703,7 +710,7 @@ def qhishead_level2(q, lv, x_q, *, num_classes: int | None = None,
 
     kern = functools.partial(
         _qhead_kernel2, height=h, width=w, cin=cin, row_chunk=row_chunk,
-        pred_pad=pred_pad,
+        pred_pad=pred_pad, pred_pad_cr=pred_pad_cr,
     )
     whole = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
@@ -718,7 +725,7 @@ def qhishead_level2(q, lv, x_q, *, num_classes: int | None = None,
             pl.BlockSpec((2, h, w, cin), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             whole(cin, c2), whole(9, c2), whole(c2, cin),
             whole(3, 3, cin, cin), whole(3, 3, cin, cin),
-            whole(3, 3, cin, pred_pad), whole(3, 3, cin, pred_pad),
+            whole(3, 3, cin, pred_pad), whole(3, 3, cin, pred_pad_cr),
             whole(cin, NUM_GROUPS), whole(c2, NUM_GROUPS),
             whole(8, c2), whole(10, c2),
             pl.BlockSpec((1, 6), lambda b: (0, 0), memory_space=pltpu.SMEM),
@@ -726,12 +733,12 @@ def qhishead_level2(q, lv, x_q, *, num_classes: int | None = None,
         out_specs=(
             pl.BlockSpec((2, h, w, pred_pad), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, h, w, pred_pad), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((2, h, w, pred_pad_cr), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, h, w, pred_pad), jnp.bfloat16),
-            jax.ShapeDtypeStruct((bsz, h, w, pred_pad), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, h, w, pred_pad_cr), jnp.bfloat16),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, h, w, c2), jnp.bfloat16),  # z2 (dw pre-norm; its

@@ -60,9 +60,11 @@ def main():
     xs_q = [jax.random.randint(jax.random.PRNGKey(i + 7), (B, *s, C),
                                -127, 128, jnp.int8)
             for i, s in enumerate(sizes)]
+    rc = int(os.environ.get("RC", "16"))
     fns = []
     for i in keep:
-        fn = jax.jit(lambda lvv, xq: qhishead_level(q, lvv, xq, num_classes=NC))
+        fn = jax.jit(lambda lvv, xq: qhishead_level(q, lvv, xq, num_classes=NC,
+                                                    row_chunk=rc))
         cls, cr = fn(q["levels"][i], xs_q[i])
         float(jnp.asarray(cls.astype(jnp.float32)).sum())  # warm/compile
         fns.append(fn)
