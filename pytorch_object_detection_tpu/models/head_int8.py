@@ -224,12 +224,27 @@ def hishead_int8_forward(q, levels_q, backend: str = "xla",
             qhishead_level2,
         )
 
-        # PODT_QHEAD_V2=1 routes the r5 image-pair pipelined kernel
-        # (transparently falls back to v1 for odd batches); default v1
-        # until the on-chip A/B lands
-        level_fn = (qhishead_level2
-                    if os.environ.get("PODT_QHEAD_V2", "0") == "1"
-                    else qhishead_level)
+        # r5 on-chip A/B (PERF.md "COCO head kernel round 3"): the
+        # image-pair pipelined v2 kernel wins at COCO-canvas level sizes
+        # (P3 14.25 -> 11.96 ms, e2e 413.9 -> 427.6 img/s) by hiding the
+        # per-image VPU chain (depthwise/GN stats/normalize) under the
+        # other image's MXU dots; at 512^2 levels the v1 single-image
+        # kernel remains the measured-best.  Default "auto" picks per
+        # level by that boundary; PODT_QHEAD_V2=0/1 forces v1/v2.
+        # (v2 itself falls back to v1 for odd batches.)
+        v2_env = os.environ.get("PODT_QHEAD_V2", "auto")
+
+        def level_fn(q, lv, x_q, *, num_classes, interpret,
+                     _env=v2_env):
+            if _env == "1":
+                use_v2 = True
+            elif _env == "0":
+                use_v2 = False
+            else:  # auto: COCO-scale levels (> the 512^2 P3's 64x64 px)
+                use_v2 = x_q.shape[1] * x_q.shape[2] > 64 * 64
+            fn = qhishead_level2 if use_v2 else qhishead_level
+            return fn(q, lv, x_q, num_classes=num_classes,
+                      interpret=interpret)
 
     cls_l, cnt_l, reg_l = [], [], []
     for i, x_q in enumerate(levels_q):
